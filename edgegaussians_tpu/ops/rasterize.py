@@ -1,0 +1,87 @@
+"""Differentiable tile-based Gaussian rasterization (the L0 replacement).
+
+TPU-native re-design of the external gsplat CUDA rasterizer the reference
+depends on (call site: edgegaussians/models/edge_gs.py:250-268). One call
+renders one camera's edge-intensity image and backpropagates to means /
+quats / scales / opacities, with the gsplat 'antialiased' opacity
+compensation and absgrad signal.
+
+Pipeline (all static shapes, jit-safe):
+
+    project (JAX, autodiff)  ->  bin (sort + prefix sums, stop-grad)
+    -> gather per-tile data  ->  composite (custom VJP; Pallas or XLA)
+    -> assemble [H, W]
+
+Colors are implicitly all-ones (edge_gs.py:247): the rendered intensity is
+the accumulated alpha, so 'rgb' and 'accumulation' outputs coincide.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from edgegaussians_tpu.ops import tiles as tiles_mod
+from edgegaussians_tpu.ops.composite import tile_render
+from edgegaussians_tpu.ops.projection import project_gaussians
+from edgegaussians_tpu.ops.tiles import (
+    assemble_image, bin_gaussians, pixel_basis, tile_origins)
+
+
+class RenderResult(NamedTuple):
+    image: jnp.ndarray          # [H,W] edge intensity in [0,1+] (pre-clamp)
+    tile_counts: jnp.ndarray    # [T] per-tile Gaussian counts (diagnostics)
+    num_visible: jnp.ndarray    # scalar: Gaussians surviving projection
+
+
+def rasterize(
+    means: jnp.ndarray,            # [N,3]
+    quats: jnp.ndarray,            # [N,4] wxyz
+    scales: jnp.ndarray,           # [N,3] linear
+    opacities: jnp.ndarray,        # [N] linear
+    viewmat: jnp.ndarray,          # [4,4]
+    K: jnp.ndarray,                # [3,3]
+    width: int,
+    height: int,
+    *,
+    tile_size: int = 16,
+    capacity: int = 512,
+    backend: str = "jax",
+    antialiased: bool = True,
+    near_plane: float = 0.01,
+    far_plane: float = 1e10,
+    alive: Optional[jnp.ndarray] = None,
+    absgrad_sink: Optional[jnp.ndarray] = None,   # [N,2] zeros
+) -> RenderResult:
+    """Render one view. Differentiable in means/quats/scales/opacities and,
+    through ``absgrad_sink``'s cotangent, reports accumulated |d means2d|."""
+    n = means.shape[0]
+    proj = project_gaussians(
+        means, quats, scales, opacities, viewmat, K, width, height,
+        near_plane=near_plane, far_plane=far_plane,
+        antialiased=antialiased, alive=alive)
+
+    bins = bin_gaussians(jax.lax.stop_gradient(proj), width, height,
+                         tile_size, capacity)
+    idx = bins.indices                                    # [T,Kc]
+
+    m2d_g = proj.means2d[idx]                             # [T,Kc,2]
+    conics_g = proj.conics[idx]                           # [T,Kc,3]
+    logop_g = jnp.log(jnp.maximum(proj.opacities[idx], 1e-12))
+    validf = (bins.valid & proj.valid[idx]).astype(jnp.float32)
+
+    origins = tile_origins(width, height, tile_size)
+    basis = pixel_basis(tile_size)
+    if absgrad_sink is None:
+        absgrad_sink = jnp.zeros((n, 2), dtype=jnp.float32)
+
+    tile_imgs = tile_render(m2d_g, conics_g, logop_g, validf, origins,
+                            basis, idx, absgrad_sink, backend)
+    image = assemble_image(tile_imgs, width, height, tile_size)
+    return RenderResult(
+        image=image,
+        tile_counts=bins.counts,
+        num_visible=jnp.sum(proj.valid.astype(jnp.int32)))

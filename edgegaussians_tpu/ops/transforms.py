@@ -1,0 +1,66 @@
+"""Quaternion / rotation utilities (JAX, batched, differentiable).
+
+JAX counterparts of the reference's torch/numpy helpers
+(reference: edgegaussians/utils/misc_utils.py:36-130). Quaternions are wxyz.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def normalize_quats(quats: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """L2-normalize [N,4] quaternions."""
+    norm = jnp.linalg.norm(quats, axis=-1, keepdims=True)
+    return quats / jnp.maximum(norm, eps)
+
+
+def quats_to_rotmats(quats: jnp.ndarray) -> jnp.ndarray:
+    """wxyz quaternions [N,4] -> rotation matrices [N,3,3].
+
+    Matches quats_to_rotmats_tensor (misc_utils.py:53-94): inputs are
+    normalized internally.
+    """
+    q = normalize_quats(quats)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    r00 = 1 - 2 * (y * y + z * z)
+    r01 = 2 * (x * y - w * z)
+    r02 = 2 * (x * z + w * y)
+    r10 = 2 * (x * y + w * z)
+    r11 = 1 - 2 * (x * x + z * z)
+    r12 = 2 * (y * z - w * x)
+    r20 = 2 * (x * z - w * y)
+    r21 = 2 * (y * z + w * x)
+    r22 = 1 - 2 * (x * x + y * y)
+    return jnp.stack([
+        jnp.stack([r00, r01, r02], axis=-1),
+        jnp.stack([r10, r11, r12], axis=-1),
+        jnp.stack([r20, r21, r22], axis=-1),
+    ], axis=-2)
+
+
+def major_directions(scales: jnp.ndarray, quats: jnp.ndarray) -> jnp.ndarray:
+    """Unit direction of each Gaussian's largest principal axis.
+
+    The major direction is the rotation-matrix column selected by the argmax
+    of |scales| (reference: edge_gs.py:352-356, misc_utils.py:124-130).
+    ``scales`` are linear (already exponentiated).
+    """
+    rotmats = quats_to_rotmats(quats)                       # [N,3,3]
+    amax = jnp.argmax(jnp.abs(scales), axis=-1)             # [N]
+    return jnp.take_along_axis(
+        rotmats, amax[:, None, None], axis=2).squeeze(-1)   # [N,3]
+
+
+def covariance_from_quat_scale(quats: jnp.ndarray,
+                               scales: jnp.ndarray) -> jnp.ndarray:
+    """World-space 3x3 covariance Sigma = R S S^T R^T ([N,3,3]).
+
+    ``scales`` are linear standard deviations along the principal axes —
+    the 3DGS parameterization realized by the gsplat rasterizer the reference
+    calls (edge_gs.py:250-268).
+    """
+    R = quats_to_rotmats(quats)                  # [N,3,3]
+    M = R * scales[:, None, :]                   # R @ diag(s)
+    return M @ jnp.swapaxes(M, -1, -2)

@@ -1,0 +1,52 @@
+"""Test configuration: force CPU with a virtual 8-device mesh.
+
+Multi-chip sharding is validated on a host-platform device mesh
+(XLA_FLAGS=--xla_force_host_platform_device_count) as real multi-chip
+hardware is not assumed in CI.
+"""
+
+import os
+
+# Force-override: the environment may pin JAX_PLATFORMS to a TPU plugin
+# (e.g. axon) and sitecustomize may have imported jax already — set both the
+# env var and the live config so unit tests run on the host CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
+
+
+def make_test_scene(rng, n=64, width=64, height=48, fov_deg=60.0):
+    """A small synthetic scene: Gaussians in a box in front of a camera."""
+    import math
+
+    means = rng.uniform(-0.5, 0.5, size=(n, 3)).astype(np.float32)
+    means[:, 2] += 2.0                       # push in front of the camera
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    scales = np.exp(rng.uniform(np.log(0.01), np.log(0.08),
+                                size=(n, 3))).astype(np.float32)
+    opacities = rng.uniform(0.2, 0.95, size=(n,)).astype(np.float32)
+
+    f = 0.5 * width / math.tan(math.radians(fov_deg) / 2)
+    K = np.array([[f, 0, width / 2], [0, f, height / 2], [0, 0, 1]],
+                 dtype=np.float32)
+    viewmat = np.eye(4, dtype=np.float32)
+    return means, quats, scales, opacities, viewmat, K
+
+
+@pytest.fixture
+def test_scene(rng):
+    return make_test_scene(rng)

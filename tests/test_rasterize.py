@@ -1,0 +1,138 @@
+"""Rasterizer correctness: tile pipeline vs. per-pixel oracle, gradients.
+
+The oracle (rasterize_ref) implements gsplat compositing semantics exactly
+(call contract: edge_gs.py:250-268); the tile rasterizer must agree to
+float tolerance whenever no tile overflows its capacity.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from edgegaussians_tpu.ops.rasterize import rasterize
+from edgegaussians_tpu.ops.rasterize_ref import rasterize_reference
+from edgegaussians_tpu.ops.projection import project_gaussians
+
+
+def _render_args(scene):
+    means, quats, scales, opac, viewmat, K = scene
+    return (jnp.array(means), jnp.array(quats), jnp.array(scales),
+            jnp.array(opac), jnp.array(viewmat), jnp.array(K))
+
+
+def test_projection_basic(test_scene):
+    means, quats, scales, opac, viewmat, K = _render_args(test_scene)
+    proj = project_gaussians(means, quats, scales, opac, viewmat, K, 64, 48)
+    assert bool(jnp.all(proj.depths > 0))
+    assert int(jnp.sum(proj.valid)) > 0
+    # centered cloud should project near the principal point
+    assert 0 < float(jnp.median(proj.means2d[:, 0])) < 64
+
+
+def test_tile_matches_oracle(test_scene):
+    args = _render_args(test_scene)
+    W, H = 64, 48
+    ref = rasterize_reference(*args, W, H)
+    out = rasterize(*args, W, H, tile_size=16, capacity=64, backend="jax")
+    np.testing.assert_allclose(np.array(out.image), np.array(ref),
+                               atol=2e-5, rtol=1e-4)
+    assert out.image.shape == (H, W)
+
+
+def test_tile_size_invariance(test_scene):
+    """Different tile sizes must produce the same image."""
+    args = _render_args(test_scene)
+    W, H = 64, 48
+    img8 = rasterize(*args, W, H, tile_size=8, capacity=64).image
+    img16 = rasterize(*args, W, H, tile_size=16, capacity=64).image
+    np.testing.assert_allclose(np.array(img8), np.array(img16),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_nondivisible_image_size(test_scene):
+    """Padding tiles on ragged edges must not corrupt the image."""
+    args = _render_args(test_scene)
+    ref = rasterize_reference(*args, 60, 44)
+    out = rasterize(*args, 60, 44, tile_size=16, capacity=64).image
+    np.testing.assert_allclose(np.array(out), np.array(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_antialiased_compensation_changes_image(test_scene):
+    args = _render_args(test_scene)
+    img_aa = rasterize(*args, 64, 48, capacity=64, antialiased=True).image
+    img_cl = rasterize(*args, 64, 48, capacity=64, antialiased=False).image
+    assert not np.allclose(np.array(img_aa), np.array(img_cl))
+    # antialiased compensation only shrinks opacity
+    assert float(jnp.sum(img_aa)) <= float(jnp.sum(img_cl)) + 1e-4
+
+
+def test_gradients_match_oracle(test_scene):
+    """Parameter gradients of the tile path vs. the oracle path."""
+    means, quats, scales, opac, viewmat, K = _render_args(test_scene)
+    W, H = 64, 48
+    target = jnp.zeros((H, W))
+
+    def loss_tile(m, q, s, o):
+        img = rasterize(m, q, s, o, viewmat, K, W, H, capacity=64).image
+        return jnp.mean(jnp.abs(img - target))
+
+    def loss_ref(m, q, s, o):
+        img = rasterize_reference(m, q, s, o, viewmat, K, W, H)
+        return jnp.mean(jnp.abs(img - target))
+
+    g_tile = jax.grad(loss_tile, argnums=(0, 1, 2, 3))(
+        means, quats, scales, opac)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(
+        means, quats, scales, opac)
+    for gt, gr, name in zip(g_tile, g_ref,
+                            ["means", "quats", "scales", "opac"]):
+        np.testing.assert_allclose(
+            np.array(gt), np.array(gr), atol=5e-5, rtol=5e-3,
+            err_msg=f"gradient mismatch for {name}")
+
+
+def test_absgrad_sink(test_scene):
+    """The sink cotangent must deliver per-Gaussian |d means2d| sums."""
+    means, quats, scales, opac, viewmat, K = _render_args(test_scene)
+    W, H = 64, 48
+    n = means.shape[0]
+    sink = jnp.zeros((n, 2))
+
+    def loss(m, sink):
+        img = rasterize(m, quats, scales, opac, viewmat, K, W, H,
+                        capacity=64, absgrad_sink=sink).image
+        return jnp.mean(jnp.abs(img - 0.5))
+
+    gm, gsink = jax.grad(loss, argnums=(0, 1))(means, sink)
+    gsink = np.array(gsink)
+    assert gsink.shape == (n, 2)
+    assert np.all(gsink >= 0)           # it is a sum of absolute values
+    assert gsink.max() > 0
+    # absgrad upper-bounds the net gradient magnitude componentwise
+    # (sum of abs >= abs of sum across tiles)
+    # project net gradient to 2D is not directly comparable; check scale sanity
+    assert np.isfinite(gsink).all()
+
+
+def test_alive_mask(test_scene):
+    """Dead capacity slots must not render."""
+    means, quats, scales, opac, viewmat, K = _render_args(test_scene)
+    n = means.shape[0]
+    alive = jnp.arange(n) < (n // 2)
+    img_half = rasterize(means, quats, scales, opac, viewmat, K, 64, 48,
+                         capacity=64, alive=alive).image
+    img_manual = rasterize(means[: n // 2], quats[: n // 2],
+                           scales[: n // 2], opac[: n // 2],
+                           viewmat, K, 64, 48, capacity=64).image
+    np.testing.assert_allclose(np.array(img_half), np.array(img_manual),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_empty_scene():
+    z = jnp.zeros
+    out = rasterize(z((4, 3)), jnp.ones((4, 4)), jnp.full((4, 3), 0.01),
+                    z((4,)), jnp.eye(4), jnp.eye(3) * 50, 32, 32,
+                    capacity=8)
+    np.testing.assert_allclose(np.array(out.image), 0.0)
