@@ -1,0 +1,154 @@
+"""Training losses (pure JAX, jit-safe).
+
+Re-implements the reference's loss surface:
+
+- projection losses with the three pixel-sampling strategies ``whole`` /
+  ``bg_edge_ratio`` / ``weighted`` (reference: edge_gs.py:288-324,
+  losses.py:5-11),
+- the geometric edge priors: direction loss (major-axis vs. neighbor
+  alignment, ``enforce_full`` / ``enforce_half`` — edge_gs.py:346-373) and
+  scale-ratio loss (needle regularization — edge_gs.py:375-380).
+
+Dynamic-count masked means are expressed as sum/count so every strategy is
+static-shape. The ``bg_edge_ratio`` background sampler reproduces the
+reference's *flat-index* quirk (SURVEY.md §6.5.2): it samples ``num_bg``
+distinct flat indices uniformly from [0, #bg) and unravels them over the full
+image — i.e. arbitrary pixels from the top of the image, not verified
+background pixels.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from edgegaussians_tpu.ops.knn import knn
+from edgegaussians_tpu.ops.transforms import major_directions
+
+
+def masked_l1(pred: jnp.ndarray, target: jnp.ndarray,
+              mask: jnp.ndarray) -> jnp.ndarray:
+    """Mean |pred-target| over mask (reference MaskedL1Loss, losses.py:5-7)."""
+    m = mask.astype(pred.dtype)
+    total = jnp.sum(jnp.abs(pred - target) * m)
+    return total / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def weighted_l1(pred: jnp.ndarray, target: jnp.ndarray,
+                weights: jnp.ndarray) -> jnp.ndarray:
+    """Mean of weights * |pred-target| (reference WeightedL1Loss)."""
+    return jnp.mean(weights * jnp.abs(pred - target))
+
+
+def compute_edge_mask(gt_image: jnp.ndarray, threshold: float) -> jnp.ndarray:
+    """Binary edge mask at the detection threshold (edge_gs.py:154-161)."""
+    return gt_image >= threshold
+
+
+def compute_weight_mask(edge_mask: jnp.ndarray) -> jnp.ndarray:
+    """Inverse-frequency class weights (edge_gs.py:177-193)."""
+    num_edge = jnp.sum(edge_mask)
+    num_bg = jnp.sum(~edge_mask)
+    total = num_edge + num_bg
+    edge_w = num_bg / total
+    bg_w = num_edge / total
+    return jnp.where(edge_mask, edge_w, bg_w).astype(jnp.float32)
+
+
+def projection_loss_whole(pred, gt, loss_type: str = "l1"):
+    """'whole' strategy (edge_gs.py:290-296)."""
+    if loss_type == "l1":
+        return jnp.mean(jnp.abs(pred - gt))
+    if loss_type == "l2":
+        return jnp.mean((pred - gt) ** 2)
+    raise ValueError(f"Unknown loss_type {loss_type}")
+
+
+def projection_loss_bg_edge_ratio(pred, gt, edge_mask, bg_edge_pixel_ratio,
+                                  key) -> jnp.ndarray:
+    """'bg_edge_ratio' strategy (edge_gs.py:298-314), bug-faithful.
+
+    edge term: masked L1 over edge pixels. bg term: masked L1 over
+    ``ratio * #edge`` random *flat* indices drawn without replacement from
+    [0, #bg) — the reference's unravel-over-full-image behavior.
+    """
+    h, w = pred.shape
+    num_edge = jnp.sum(edge_mask)
+    num_bg_all = h * w - num_edge
+    num_bg_sample = (bg_edge_pixel_ratio * num_edge).astype(jnp.int32)
+
+    edge_loss = masked_l1(pred, gt, edge_mask)
+
+    # exact without-replacement sampling of the first num_bg_all flat pixels:
+    # random scores, keep those below the num_bg_sample-th smallest
+    flat = jnp.arange(h * w)
+    scores = jax.random.uniform(key, (h * w,))
+    scores = jnp.where(flat < num_bg_all, scores, 2.0)   # restrict support
+    sorted_scores = jnp.sort(scores)
+    kth = sorted_scores[jnp.clip(num_bg_sample - 1, 0, h * w - 1)]
+    sample_mask = ((scores <= kth) & (flat < num_bg_all)
+                   & (num_bg_sample > 0)).reshape(h, w)
+
+    bg_loss = masked_l1(pred, gt, sample_mask)
+    return edge_loss + bg_loss
+
+
+def projection_loss_weighted(pred, gt, weight_mask) -> jnp.ndarray:
+    """'weighted' strategy (edge_gs.py:316-319)."""
+    return weighted_l1(pred, gt, weight_mask)
+
+
+def direction_loss(means: jnp.ndarray,          # [N,3]
+                   scales: jnp.ndarray,         # [N,3] linear
+                   quats: jnp.ndarray,          # [N,4]
+                   nn_indices: jnp.ndarray,     # [N,knn] precomputed neighbors
+                   alive: jnp.ndarray,          # [N] bool
+                   num_nn: int,
+                   enforce_method: str = "enforce_full") -> jnp.ndarray:
+    """Major-axis vs. neighbor-direction alignment (edge_gs.py:346-373).
+
+    ``nn_indices`` carries k+1 neighbors for enforce_full and 2k+1 for
+    enforce_half, mirroring update_nearest_neighbors (edge_gs.py:326-344)
+    which drops the closest of the fetched neighbors.
+    """
+    majors = major_directions(scales, quats)                     # [N,3]
+    neigh = means[nn_indices]                                    # [N,m,3]
+    d = means[:, None, :] - neigh
+    d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
+    align = jnp.abs(jnp.sum(majors[:, None, :] * d, axis=-1))    # [N,m]
+
+    if enforce_method == "enforce_half":
+        align_sorted = jnp.sort(align, axis=-1)[:, ::-1]
+        mean_align = jnp.mean(align_sorted[:, :num_nn], axis=-1)
+    else:
+        mean_align = jnp.mean(align, axis=-1)
+
+    af = alive.astype(jnp.float32)
+    mean_align_alive = jnp.sum(mean_align * af) / jnp.maximum(jnp.sum(af), 1.0)
+    return 1.0 - mean_align_alive
+
+
+def ratio_loss(scales: jnp.ndarray, alive: jnp.ndarray) -> jnp.ndarray:
+    """Second-largest / largest scale ratio (edge_gs.py:375-380).
+
+    Drives Gaussians toward 1-D needles. ``scales`` are linear.
+    """
+    s = jnp.sort(scales, axis=-1)[:, ::-1]
+    ratio = s[:, 1] / jnp.maximum(s[:, 0], 1e-12)
+    af = alive.astype(jnp.float32)
+    return jnp.sum(ratio * af) / jnp.maximum(jnp.sum(af), 1.0)
+
+
+def update_nearest_neighbors(means: jnp.ndarray, alive: jnp.ndarray,
+                             num_nn: int,
+                             enforce_method: str = "enforce_full"
+                             ) -> jnp.ndarray:
+    """Neighbor indices for the direction loss (edge_gs.py:326-344).
+
+    Fetches k+1 (or 2k+1 for enforce_half) nearest and drops the closest,
+    exactly as the reference slices ``indices[:, 1:]``.
+    """
+    k = num_nn
+    fetch = (2 * k + 1) if enforce_method == "enforce_half" else (k + 1)
+    _, idx = knn(means, fetch, mask=alive)
+    return idx[:, 1:]

@@ -35,17 +35,18 @@ _LOG_TRANS_EPS = float(np.log(TRANSMITTANCE_EPS))
 
 
 def _composite_tile(feats: jnp.ndarray,    # [K,8]
-                    logop: jnp.ndarray,    # [K]
-                    validf: jnp.ndarray,   # [K]
                     basis: jnp.ndarray,    # [8,P]
                     ) -> jnp.ndarray:      # [P]
-    """One tile: matmul alpha evaluation + log-space compositing."""
+    """One tile: matmul alpha evaluation + log-space compositing.
+
+    Invalid slots arrive with a -1e30 constant feature (alpha underflows to
+    0); slot 6 carries log opacity for the sigma >= 0 numerical guard.
+    """
     logalpha = jnp.dot(feats, basis, preferred_element_type=jnp.float32)
+    logop = feats[:, 6:7]
     alpha = jnp.exp(logalpha)
     # skip rules: sigma >= 0  <=>  logalpha <= log opacity; alpha >= 1/255
-    ok = ((logalpha <= logop[:, None])
-          & (alpha >= ALPHA_THRESHOLD)
-          & (validf[:, None] > 0))
+    ok = (logalpha <= logop) & (alpha >= ALPHA_THRESHOLD)
     alpha = jnp.where(ok, jnp.minimum(alpha, ALPHA_CLAMP), 0.0)
 
     log1m = jnp.log1p(-alpha)
@@ -55,37 +56,31 @@ def _composite_tile(feats: jnp.ndarray,    # [K,8]
     return jnp.sum(alpha * t_prev * keep, axis=0)
 
 
-def _composite_jax(feats, logop, validf, basis, chunk: int = 64):
+def _composite_jax(feats, basis, chunk: int = 64):
     """Chunked lax.map over tiles; rematerialized so AD stores only inputs."""
     T = feats.shape[0]
     pad = (-T) % chunk
     if pad:
         feats = jnp.pad(feats, ((0, pad), (0, 0), (0, 0)))
-        logop = jnp.pad(logop, ((0, pad), (0, 0)))
-        validf = jnp.pad(validf, ((0, pad), (0, 0)))
     n_chunks = feats.shape[0] // chunk
 
-    tile_fn = jax.checkpoint(
-        jax.vmap(_composite_tile, in_axes=(0, 0, 0, None)))
+    tile_fn = jax.checkpoint(jax.vmap(_composite_tile, in_axes=(0, None)))
 
-    def chunk_fn(args):
-        f, lo, va = args
-        return tile_fn(f, lo, va, basis)
+    def chunk_fn(f):
+        return tile_fn(f, basis)
 
-    out = jax.lax.map(chunk_fn, (
-        feats.reshape(n_chunks, chunk, *feats.shape[1:]),
-        logop.reshape(n_chunks, chunk, logop.shape[1]),
-        validf.reshape(n_chunks, chunk, validf.shape[1])))
+    out = jax.lax.map(
+        chunk_fn, feats.reshape(n_chunks, chunk, *feats.shape[1:]))
     return out.reshape(-1, basis.shape[1])[:T]
 
 
 def _render_impl(m2d_g, conics_g, logop_g, validf, origins, basis,
                  backend: str):
-    feats = build_tile_features(m2d_g, conics_g, logop_g, origins)
+    feats = build_tile_features(m2d_g, conics_g, logop_g, origins, validf)
     if backend == "pallas":
         from edgegaussians_tpu.ops import pallas_raster
-        return pallas_raster.composite_fwd(feats, logop_g, validf, basis)
-    return _composite_jax(feats, logop_g, validf, basis)
+        return pallas_raster.composite_fwd(feats, basis)
+    return _composite_jax(feats, basis)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
@@ -122,10 +117,10 @@ def _tile_render_bwd(backend, res, g):
 
     if backend == "pallas":
         from edgegaussians_tpu.ops import pallas_raster
-        feats = build_tile_features(m2d_g, conics_g, logop_g, origins)
-        dfeats = pallas_raster.composite_bwd(feats, logop_g, validf, basis, g)
+        feats = build_tile_features(m2d_g, conics_g, logop_g, origins, validf)
+        dfeats = pallas_raster.composite_bwd(feats, basis, g)
         _, feat_vjp = jax.vjp(
-            lambda m, c, l: build_tile_features(m, c, l, origins),
+            lambda m, c, l: build_tile_features(m, c, l, origins, validf),
             m2d_g, conics_g, logop_g)
         dm, dc, dl = feat_vjp(dfeats)
     else:

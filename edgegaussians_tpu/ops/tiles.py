@@ -132,8 +132,16 @@ def build_tile_features(means2d_g: jnp.ndarray,    # [T,K,2] gathered centers
                         conics_g: jnp.ndarray,     # [T,K,3]
                         logop_g: jnp.ndarray,      # [T,K] log effective opacity
                         origins: jnp.ndarray,      # [T,2]
+                        validf: jnp.ndarray,       # [T,K] 0/1 slot validity
                         ) -> jnp.ndarray:
-    """Per-(tile, Gaussian) matmul features G (see module docstring)."""
+    """Per-(tile, Gaussian) matmul features G (see module docstring).
+
+    Slot layout: [0..4] = quadratic/linear conic terms, [5] = constant term
+    (center quadform + log opacity; forced to -1e30 for invalid slots so
+    their alpha underflows to exactly 0 and no masking is needed downstream),
+    [6] = log opacity against a zero basis row (extracted inside the
+    compositor for the sigma>=0 numerical guard), [7] = padding.
+    """
     mx = means2d_g[..., 0] - origins[:, None, 0]
     my = means2d_g[..., 1] - origins[:, None, 1]
     a = conics_g[..., 0]
@@ -142,9 +150,10 @@ def build_tile_features(means2d_g: jnp.ndarray,    # [T,K,2] gathered centers
     amx_bmy = a * mx + b * my
     bmx_cmy = b * mx + c * my
     const = -(0.5) * (amx_bmy * mx + bmx_cmy * my) + logop_g
+    const = jnp.where(validf > 0, const, -1e30)
     zeros = jnp.zeros_like(mx)
     return jnp.stack([-0.5 * a, -b, -0.5 * c, amx_bmy, bmx_cmy, const,
-                      zeros, zeros], axis=-1)
+                      logop_g, zeros], axis=-1)
 
 
 def assemble_image(tile_images: jnp.ndarray, width: int, height: int,

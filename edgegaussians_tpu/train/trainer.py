@@ -1,0 +1,332 @@
+"""Training orchestration: jit-compiled epoch scan + host-side density loop.
+
+TPU-first redesign of the reference training loop (train_gaussians.py:17-222):
+one jitted function runs a whole epoch as a ``lax.scan`` over shuffled views
+— one Adam step per view, exactly the reference's per-view SGD cadence —
+with the direction/ratio losses applied every 5 renders via ``lax.cond``
+(train_gaussians.py:108-131). The epoch index is a traced scalar so a single
+compilation serves the entire run; only adaptive density control runs
+between epochs (host-dispatched, each op itself jitted with fixed shapes).
+
+Reference semantics carried over verbatim:
+- loss alternation schedule on ``model.step`` (train_gaussians.py:73-77),
+- direction/ratio lambdas scaled by the *running sum* of projection losses
+  (bug-faithful: 'avg_loss' is a sum at that point — SURVEY §6.5.4),
+- absgrad accumulation after every projection backward (edge_gs.py:607-613),
+- kNN refreshed immediately before every direction-loss application
+  (train_gaussians.py:110).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time
+from dataclasses import dataclass
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from edgegaussians_tpu.config import FrameworkConfig
+from edgegaussians_tpu.models import density, losses
+from edgegaussians_tpu.models.gaussians import (
+    GaussianParams, GaussianState, init_state, render_view)
+from edgegaussians_tpu.train import optim
+from edgegaussians_tpu.train.optim import OptState, annealed
+
+STRATEGIES = ("whole", "bg_edge_ratio", "weighted")
+
+
+class TrainState(NamedTuple):
+    gaussians: GaussianState
+    opt: OptState
+    step: jnp.ndarray          # int32, renders so far (model.step)
+    key: jnp.ndarray           # PRNG key
+
+
+class EpochStats(NamedTuple):
+    avg_loss: jnp.ndarray
+    num_alive: jnp.ndarray
+    max_tile_count: jnp.ndarray
+
+
+def _strategy_index(name: str) -> int:
+    try:
+        return STRATEGIES.index(name)
+    except ValueError:
+        raise ValueError(f"Unknown projection loss strategy: {name}")
+
+
+def make_epoch_fn(cfg: FrameworkConfig, width: int, height: int,
+                  backend: str):
+    """Build the jitted epoch function for a fixed scene geometry."""
+    mcfg = cfg.model
+    tcfg = cfg.training
+    pl_cfg = tcfg.loss.projection_losses
+    ol_cfg = tcfg.loss.orientation_losses
+
+    strat_before = _strategy_index(pl_cfg.loss_before_alternating)
+    strat_less = _strategy_index(pl_cfg.less_freq_loss)
+    strat_more = _strategy_index(pl_cfg.more_freq_loss)
+    sampling_ratio = max(int(pl_cfg.sampling_whole_num_epochs_ratio), 1)
+    num_nn = ol_cfg.dir_loss_num_nn
+    enforce = ol_cfg.dir_loss_enforce_method
+    render_kwargs = dict(
+        tile_size=mcfg.tile_size, capacity=mcfg.tile_gaussian_capacity,
+        backend=backend, antialiased=(mcfg.rasterize_mode == "antialiased"))
+
+    def projection_loss(pred, gt, edge_mask, strategy_idx, bg_ratio, key):
+        branches = [
+            lambda: losses.projection_loss_whole(pred, gt, pl_cfg.loss_type),
+            lambda: losses.projection_loss_bg_edge_ratio(
+                pred, gt, edge_mask, bg_ratio, key),
+            lambda: losses.projection_loss_weighted(
+                pred, gt, losses.compute_weight_mask(edge_mask)),
+        ]
+        return jax.lax.switch(strategy_idx, branches)
+
+    def view_step(carry, view_idx, *, epoch, images, edge_masks, viewmats,
+                  Ks, lrs, lambda_proj, bg_ratio, apply_dir, apply_ratio,
+                  check_sampling):
+        ts, run_sum, max_tiles = carry
+        gs = ts.gaussians
+        key, k_bg, k_next = jax.random.split(ts.key, 3)
+
+        # strategy for this render (train_gaussians.py:73-77): before the
+        # alternating epoch use 'loss_before_alternating'; after, alternate
+        # on the render counter.
+        alt = jnp.where(ts.step % sampling_ratio == 0, strat_less, strat_more)
+        strategy_idx = jnp.where(check_sampling, alt, strat_before)
+
+        gt = images[view_idx]
+        edge_mask = edge_masks[view_idx]
+        sink0 = jnp.zeros((gs.capacity, 2), dtype=jnp.float32)
+
+        def loss_fn(params: GaussianParams, sink):
+            out = render_view(params, gs.alive, viewmats[view_idx],
+                              Ks[view_idx], width, height,
+                              absgrad_sink=sink, **render_kwargs)
+            pred = jnp.clip(out.image, 0.0, 1.0)   # edge_gs.py:279
+            l = projection_loss(pred, gt, edge_mask, strategy_idx,
+                                bg_ratio, k_bg)
+            return l, out
+
+        (proj_loss, out), (gparams, gsink) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(gs.params, sink0)
+
+        # the reference backprops lambda * loss but logs/accumulates the raw
+        # loss (train_gaussians.py:98-101)
+        gparams = jax.tree.map(lambda g: lambda_proj * g, gparams)
+        absgrad = jnp.linalg.norm(gsink, axis=-1) * lambda_proj
+        run_sum = run_sum + proj_loss
+
+        params, opt = optim.apply_updates(gs.params, gparams, ts.opt, lrs)
+        gs = gs._replace(
+            params=params,
+            absgrads=gs.absgrads + absgrad,
+            absgrad_count=gs.absgrad_count + 1.0)
+        step = ts.step + 1
+
+        # direction / ratio losses every 5 renders (train_gaussians.py:108-131)
+        fire = (step % 5) == 0
+        geo_groups = ("means", "scales", "quats")
+
+        def dir_branch(args):
+            params, opt = args
+            nn_idx = losses.update_nearest_neighbors(
+                params.means, gs.alive, num_nn, enforce)
+
+            def dloss(p):
+                return losses.direction_loss(
+                    p.means, jnp.exp(p.scales), p.quats, nn_idx,
+                    gs.alive, num_nn, enforce)
+
+            dval, dgrads = jax.value_and_grad(dloss)(params)
+            lam = (run_sum * ol_cfg.dir_loss_scale_factor) / \
+                jnp.maximum(dval, 1e-12)
+            dgrads = jax.tree.map(lambda g: lam * g, dgrads)
+            return optim.apply_updates(params, dgrads, opt, lrs, geo_groups)
+
+        def ratio_branch(args):
+            params, opt = args
+
+            def rloss(p):
+                return losses.ratio_loss(jnp.exp(p.scales), gs.alive)
+
+            rval, rgrads = jax.value_and_grad(rloss)(params)
+            lam = (run_sum * ol_cfg.ratio_loss_scale_factor) / \
+                jnp.maximum(rval, 1e-12)
+            rgrads = jax.tree.map(lambda g: lam * g, rgrads)
+            return optim.apply_updates(params, rgrads, opt, lrs, geo_groups)
+
+        params, opt = jax.lax.cond(
+            apply_dir & fire, dir_branch, lambda a: a, (gs.params, opt))
+        params, opt = jax.lax.cond(
+            apply_ratio & fire, ratio_branch, lambda a: a, (params, opt))
+
+        gs = gs._replace(params=params)
+        ts = TrainState(gaussians=gs, opt=opt, step=step, key=k_next)
+        max_tiles = jnp.maximum(max_tiles, jnp.max(out.tile_counts))
+        return (ts, run_sum, max_tiles), proj_loss
+
+    @jax.jit
+    def epoch_fn(ts: TrainState, epoch: jnp.ndarray,
+                 images: jnp.ndarray, edge_masks: jnp.ndarray,
+                 viewmats: jnp.ndarray, Ks: jnp.ndarray
+                 ) -> Tuple[TrainState, EpochStats]:
+        num_views = images.shape[0]
+        key, k_perm = jax.random.split(ts.key)
+        ts = ts._replace(key=key)
+        view_order = jax.random.permutation(k_perm, num_views)
+
+        lrs = optim.all_lrs(cfg.training.optim, epoch)
+        bg_ratio = annealed(pl_cfg.bg_edge_pixel_ratio_start,
+                            pl_cfg.bg_edge_pixel_ratio_end,
+                            pl_cfg.bg_edge_pixel_ratio_annealing,
+                            epoch, tcfg.num_epochs)
+        lambda_proj = annealed(pl_cfg.lambda_start, pl_cfg.lambda_end,
+                               pl_cfg.lambda_annealing, epoch,
+                               tcfg.num_epochs)
+        apply_dir = epoch > ol_cfg.start_dir_loss_at_epoch
+        apply_ratio = epoch > ol_cfg.start_ratio_loss_at_epoch
+        check_sampling = epoch > pl_cfg.start_alternating_at_epoch
+
+        body = functools.partial(
+            view_step, epoch=epoch, images=images, edge_masks=edge_masks,
+            viewmats=viewmats, Ks=Ks, lrs=lrs, lambda_proj=lambda_proj,
+            bg_ratio=bg_ratio, apply_dir=apply_dir, apply_ratio=apply_ratio,
+            check_sampling=check_sampling)
+
+        (ts, run_sum, max_tiles), view_losses = jax.lax.scan(
+            body, (ts, jnp.float32(0.0), jnp.int32(0)), view_order)
+
+        stats = EpochStats(
+            avg_loss=run_sum / num_views,
+            num_alive=ts.gaussians.num_alive(),
+            max_tile_count=max_tiles)
+        return ts, stats
+
+    return epoch_fn
+
+
+def run_density_control(ts: TrainState, epoch: int, cfg: FrameworkConfig,
+                        viewmats, Ks, edge_masks,
+                        key: jnp.ndarray) -> Tuple[TrainState, bool]:
+    """Epoch-scheduled densify/cull dispatch (train_gaussians.py:186-219).
+
+    Returns the updated state and whether anything fired (the reference then
+    refreshes kNN and resets absgrads; kNN here is recomputed lazily at the
+    next direction-loss step, so only the absgrad reset is handled).
+    """
+    mcfg = cfg.model
+    gs, opt = ts.gaussians, ts.opt
+    fired = False
+
+    if mcfg.if_duplicate_high_pos_grad and \
+            epoch in mcfg.dup_high_pos_grads_at_epoch:
+        gs, moments = density.duplicate_high_pos_gradients(
+            gs, opt.moments, mcfg, key)
+        opt = opt._replace(moments=moments)
+        fired = True
+
+    if mcfg.if_cull_gaussians_not_projecting and \
+            epoch in mcfg.cull_gaussians_not_projecting_at_epoch:
+        gs, moments = density.cull_not_projecting(
+            gs, opt.moments, mcfg, viewmats, Ks, edge_masks)
+        opt = opt._replace(moments=moments)
+        fired = True
+
+    if mcfg.if_cull_low_opacity and epoch in mcfg.cull_opacity_at_epoch:
+        gs, moments = density.cull_low_opacity(gs, opt.moments, mcfg)
+        opt = opt._replace(moments=moments)
+        fired = True
+
+    if mcfg.if_cull_wayward and epoch in mcfg.cull_wayward_at_epoch:
+        gs, moments = density.cull_wayward(gs, opt.moments, mcfg)
+        opt = opt._replace(moments=moments)
+        fired = True
+
+    if mcfg.if_reset_opacity and epoch in mcfg.reset_opacity_at_epoch:
+        gs = gs._replace(params=density.reset_opacities(
+            gs.params, mcfg.reset_opacity_value))
+        fired = True
+
+    if fired:
+        gs = gs._replace(absgrads=jnp.zeros_like(gs.absgrads),
+                         absgrad_count=jnp.ones_like(gs.absgrad_count))
+
+    return ts._replace(gaussians=gs, opt=opt), fired
+
+
+def init_train_state(seed_points: np.ndarray, cfg: FrameworkConfig,
+                     capacity: Optional[int] = None) -> TrainState:
+    gs = init_state(seed_points, cfg.model, seed=cfg.training.seed,
+                    capacity=capacity)
+    return TrainState(
+        gaussians=gs,
+        opt=optim.init_opt_state(gs.params),
+        step=jnp.zeros((), dtype=jnp.int32),
+        key=jax.random.PRNGKey(cfg.training.seed))
+
+
+def train(scene, seed_points: np.ndarray, cfg: FrameworkConfig,
+          backend: str = "auto", log_fn=print,
+          checkpoint_dir: Optional[str] = None) -> TrainState:
+    """Full training run on one scene (train_gaussians.py:144-222).
+
+    ``scene`` is a SceneViews; returns the trained state. Checkpoints are
+    written as .npz (params + opt + step) when ``checkpoint_dir`` is set.
+    """
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "jax"
+
+    images = jnp.asarray(scene.images, jnp.float32)
+    edge_masks = images >= cfg.model.edge_detection_threshold
+    viewmats = jnp.asarray(scene.viewmats)
+    Ks = jnp.asarray(scene.Ks)
+
+    ts = init_train_state(seed_points, cfg)
+    epoch_fn = make_epoch_fn(cfg, scene.width, scene.height, backend)
+
+    key = jax.random.PRNGKey(cfg.training.seed + 1)
+    t0 = time.time()
+    for epoch in range(cfg.training.num_epochs):
+        ts, stats = epoch_fn(ts, jnp.int32(epoch), images, edge_masks,
+                             viewmats, Ks)
+        key, sub = jax.random.split(key)
+        ts, _ = run_density_control(ts, epoch, cfg, viewmats, Ks,
+                                    edge_masks, sub)
+        if epoch % max(cfg.training.log_interval, 1) == 0:
+            log_fn(f"epoch {epoch}: loss={float(stats.avg_loss):.5f} "
+                   f"alive={int(stats.num_alive)} "
+                   f"max_tile={int(stats.max_tile_count)} "
+                   f"t={time.time() - t0:.1f}s")
+        if (checkpoint_dir and cfg.training.checkpoint_interval
+                and (epoch + 1) % cfg.training.checkpoint_interval == 0):
+            save_checkpoint(ts, checkpoint_dir, epoch)
+    return ts
+
+
+def save_checkpoint(ts: TrainState, out_dir: str, epoch: int) -> str:
+    """Checkpoint params + optimizer state + step (richer than the
+    reference's params-only .pth — SURVEY §5.4)."""
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, f"epoch{epoch}.npz")
+    if os.path.exists(path):
+        path = os.path.join(out_dir,
+                            f"epoch{epoch}_{time.strftime('%m%d%H%M%S')}.npz")
+    flat = {}
+    leaves, treedef = jax.tree.flatten(ts)
+    for i, leaf in enumerate(leaves):
+        flat[f"leaf_{i}"] = np.asarray(leaf)
+    np.savez(path, **flat)
+    return path
+
+
+def load_checkpoint(path: str, template: TrainState) -> TrainState:
+    data = np.load(path)
+    leaves, treedef = jax.tree.flatten(template)
+    new_leaves = [jnp.asarray(data[f"leaf_{i}"]) for i in range(len(leaves))]
+    return jax.tree.unflatten(treedef, new_leaves)
