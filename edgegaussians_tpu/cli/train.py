@@ -1,0 +1,92 @@
+"""Training CLI — the counterpart of the reference's train_gaussians.py.
+
+Usage:
+    python -m edgegaussians_tpu.cli.train --config_file configs/ABC_DexiNed.json \
+        --scene_name 00004926 [--force_rerun] [--ckpt_path ...]
+
+Reproduces the reference's run layout (train_gaussians.py:225-346): outputs
+to ``<output_dir>/<exp_name>_<detector>/<scene>/`` with ``gaussians_all.ply``,
+a final checkpoint, and ``time.txt``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+from edgegaussians_tpu.cameras import max_pairwise_center_distance
+from edgegaussians_tpu.config import load_config
+from edgegaussians_tpu.data import parsers, seed_points as seeds_mod
+from edgegaussians_tpu.models.gaussians import export_as_ply
+from edgegaussians_tpu.train import trainer
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config_file", type=str, required=True)
+    ap.add_argument("--scene_name", type=str, default=None)
+    ap.add_argument("--ckpt_path", type=str, default=None)
+    ap.add_argument("--force_rerun", action="store_true")
+    ap.add_argument("--backend", type=str, default="auto",
+                    choices=["auto", "pallas", "jax"])
+    args = ap.parse_args(argv)
+
+    cfg = load_config(args.config_file)
+    scene_name = args.scene_name
+
+    # seed points (train_gaussians.py:246-257)
+    rng = np.random.default_rng(cfg.training.seed)
+    _, _, seed_path = parsers.get_paths_from_data_config(cfg.data, scene_name)
+    if cfg.model.init_random_init:
+        seed_pts = seeds_mod.init_seed_points_random(
+            cfg.model.init_min_num_gaussians,
+            cfg.model.random_init_box_center,
+            cfg.model.random_init_box_size, rng)
+    else:
+        seed_pts = seeds_mod.init_seed_points_from_file(
+            seed_path, cfg.model.init_min_num_gaussians, rng)
+
+    scene = parsers.load_scene(cfg.data, scene_name)
+
+    # optional scene-unit scaling (train_gaussians.py:269-284)
+    if cfg.data.scale_scene_unit:
+        scale = max_pairwise_center_distance(scene.cameras)
+        if seed_pts is not None and len(seed_pts):
+            scale = max(scale, seeds_mod.get_scale_from_points(
+                seed_pts, 0.05, 0.95))
+        seed_pts = seed_pts / scale
+        scene = scene.scale_translations(1.0 / scale)
+
+    exp_name = f"{cfg.output.exp_name}_{cfg.data.edge_detection_method}"
+    output_dir = os.path.join(cfg.output.output_dir, exp_name, scene_name)
+    final_ckpt = os.path.join(
+        output_dir, f"epoch{cfg.training.num_epochs - 1}.npz")
+    if os.path.exists(final_ckpt) and not args.force_rerun:
+        print(f"Model already trained for {cfg.training.num_epochs} epochs. "
+              "Exiting")
+        return 0
+
+    os.makedirs(output_dir, exist_ok=True)
+    t0 = time.time()
+    ts = trainer.train(scene, seed_pts, cfg, backend=args.backend,
+                       checkpoint_dir=(output_dir
+                                       if cfg.training.checkpoint_interval
+                                       else None))
+    elapsed = time.time() - t0
+    print(f"Training took {elapsed} seconds")
+    with open(os.path.join(output_dir, "time.txt"), "w") as f:
+        f.write(f"Training took {elapsed} seconds")
+
+    trainer.save_checkpoint(ts, output_dir, cfg.training.num_epochs - 1)
+    if cfg.output.export_ply:
+        n = export_as_ply(ts.gaussians,
+                          os.path.join(output_dir, "gaussians_all.ply"))
+        print(f"Exported {n} Gaussians to gaussians_all.ply")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

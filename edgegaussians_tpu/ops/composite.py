@@ -74,71 +74,68 @@ def _composite_jax(feats, basis, chunk: int = 64):
     return out.reshape(-1, basis.shape[1])[:T]
 
 
-def _render_impl(m2d_g, conics_g, logop_g, validf, origins, basis,
-                 backend: str):
-    feats = build_tile_features(m2d_g, conics_g, logop_g, origins, validf)
+def _render_impl(gathered, slot_validf, origins, basis, backend: str):
+    feats = build_tile_features(gathered, origins, slot_validf)
     if backend == "pallas":
         from edgegaussians_tpu.ops import pallas_raster
         return pallas_raster.composite_fwd(feats, basis)
     return _composite_jax(feats, basis)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
-def tile_render(m2d_g, conics_g, logop_g, validf, origins, basis, indices,
-                sink, backend: str = "jax"):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def tile_render(gathered, slot_validf, origins, basis, indices, sink,
+                backend: str = "jax"):
     """Render all tiles: gathered per-tile Gaussians -> [T, P] intensities.
 
     Args:
-      m2d_g:    [T,K,2] gathered screen centers (differentiable).
-      conics_g: [T,K,3] gathered conics (differentiable).
-      logop_g:  [T,K]   gathered log effective opacity (differentiable).
-      validf:   [T,K]   float 0/1 slot validity.
-      origins:  [T,2]   tile origins (constant).
-      basis:    [8,P]   tile-local pixel monomial basis (constant).
-      indices:  [T,K]   int32 gathered Gaussian ids (for absgrad scatter).
-      sink:     [N,2]   zeros; its gradient receives the per-Gaussian
-                accumulated |d means2d| (absgrad).
-      backend:  'jax' | 'pallas'.
+      gathered:    [T,K,8] gathered packed rows (pack_gaussian_render_data;
+                   differentiable).
+      slot_validf: [T,K]   float 0/1 bin-slot validity.
+      origins:     [T,2]   tile origins (constant).
+      basis:       [8,P]   tile-local pixel monomial basis (constant).
+      indices:     [T,K]   int32 gathered Gaussian ids (for absgrad scatter).
+      sink:        [N,2]   zeros; its gradient receives the per-Gaussian
+                   accumulated |d means2d| (absgrad).
+      backend:     'jax' | 'pallas'.
     """
-    return _render_impl(m2d_g, conics_g, logop_g, validf, origins, basis,
-                        backend)
+    return _render_impl(gathered, slot_validf, origins, basis, backend)
 
 
-def _tile_render_fwd(m2d_g, conics_g, logop_g, validf, origins,
-                     basis, indices, sink, backend):
-    out = _render_impl(m2d_g, conics_g, logop_g, validf, origins, basis,
-                       backend)
-    return out, (m2d_g, conics_g, logop_g, validf, origins, basis, indices,
+def _tile_render_fwd(gathered, slot_validf, origins, basis, indices, sink,
+                     backend):
+    out = _render_impl(gathered, slot_validf, origins, basis, backend)
+    return out, (gathered, slot_validf, origins, basis, indices,
                  sink.shape[0])
 
 
 def _tile_render_bwd(backend, res, g):
-    m2d_g, conics_g, logop_g, validf, origins, basis, indices, n = res
+    gathered, slot_validf, origins, basis, indices, n = res
 
     if backend == "pallas":
         from edgegaussians_tpu.ops import pallas_raster
-        feats = build_tile_features(m2d_g, conics_g, logop_g, origins, validf)
+        feats = build_tile_features(gathered, origins, slot_validf)
         dfeats = pallas_raster.composite_bwd(feats, basis, g)
         _, feat_vjp = jax.vjp(
-            lambda m, c, l: build_tile_features(m, c, l, origins, validf),
-            m2d_g, conics_g, logop_g)
-        dm, dc, dl = feat_vjp(dfeats)
+            lambda ga: build_tile_features(ga, origins, slot_validf),
+            gathered)
+        (dgathered,) = feat_vjp(dfeats)
     else:
         _, vjp_fn = jax.vjp(
-            lambda m, c, l: _render_impl(m, c, l, validf, origins, basis,
-                                         backend),
-            m2d_g, conics_g, logop_g)
-        dm, dc, dl = vjp_fn(g)
+            lambda ga: _render_impl(ga, slot_validf, origins, basis,
+                                    backend),
+            gathered)
+        (dgathered,) = vjp_fn(g)
 
     # absgrad: per-Gaussian sum over tiles of |d means2d| (gsplat absgrad
     # semantics; consumed by duplicate_high_pos_gradients — edge_gs.py:544).
-    contrib = jnp.abs(dm) * validf[..., None]
-    dsink = jnp.zeros((n, 2), dtype=dm.dtype).at[
+    # Columns 3:5 of the packed rows are the screen-space center.
+    contrib = jnp.abs(dgathered[..., 3:5]) * slot_validf[..., None]
+    dsink = jnp.zeros((n, 2), dtype=dgathered.dtype).at[
         indices.reshape(-1)].add(contrib.reshape(-1, 2), mode="drop")
 
     zero_idx = np.zeros(indices.shape, dtype=jax.dtypes.float0)
-    return (dm, dc, dl, jnp.zeros_like(validf), jnp.zeros_like(origins),
-            jnp.zeros_like(basis), zero_idx, dsink)
+    return (dgathered, jnp.zeros_like(slot_validf),
+            jnp.zeros_like(origins), jnp.zeros_like(basis), zero_idx, dsink)
 
 
 tile_render.defvjp(_tile_render_fwd, _tile_render_bwd)

@@ -68,17 +68,16 @@ def rasterize(
                          tile_size, capacity)
     idx = bins.indices                                    # [T,Kc]
 
-    m2d_g = proj.means2d[idx]                             # [T,Kc,2]
-    conics_g = proj.conics[idx]                           # [T,Kc,3]
-    logop_g = jnp.log(jnp.maximum(proj.opacities[idx], 1e-12))
-    validf = (bins.valid & proj.valid[idx]).astype(jnp.float32)
+    packed = tiles_mod.pack_gaussian_render_data(proj)    # [N,8]
+    gathered = packed[idx]                                # [T,Kc,8] one gather
+    slot_validf = bins.valid.astype(jnp.float32)
 
     origins = tile_origins(width, height, tile_size)
     basis = pixel_basis(tile_size)
     if absgrad_sink is None:
         absgrad_sink = jnp.zeros((n, 2), dtype=jnp.float32)
 
-    tile_imgs = tile_render(m2d_g, conics_g, logop_g, validf, origins,
+    tile_imgs = tile_render(gathered, slot_validf, origins,
                             basis, idx, absgrad_sink, backend)
     image = assemble_image(tile_imgs, width, height, tile_size)
     return RenderResult(

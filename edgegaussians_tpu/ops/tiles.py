@@ -50,20 +50,49 @@ def tile_grid(width: int, height: int, tile_size: int):
     return ntx, nty, ntx * nty
 
 
+# Bits reserved for the depth rank inside the fused sort key. Capacity for
+# 2^18 = 262144 Gaussians; tile ids must satisfy T < 2^31 / 2^18 = 8192.
+RANK_BITS = 18
+RANK_MASK = (1 << RANK_BITS) - 1
+# Max tiles one Gaussian may cover (its 3-sigma box is truncated beyond
+# this); 64 tiles = a 128px-radius footprint at 16px tiles.
+MAX_TILES_PER_GAUSSIAN = 64
+
+
 @functools.partial(jax.jit, static_argnames=(
-    "width", "height", "tile_size", "capacity", "chunk"))
+    "width", "height", "tile_size", "capacity", "max_tiles_per_gaussian"))
 def bin_gaussians(proj: ProjectedGaussians, width: int, height: int,
-                  tile_size: int, capacity: int, chunk: int = 256) -> TileBins:
+                  tile_size: int, capacity: int,
+                  max_tiles_per_gaussian: int = MAX_TILES_PER_GAUSSIAN
+                  ) -> TileBins:
     """Build depth-ordered fixed-capacity per-tile Gaussian lists.
 
     Matches the CUDA rasterizer's binning rule (square 3-sigma bounding box
     against the tile rectangle; tiles in [floor((m-r)/ts), ceil((m+r)/ts))),
-    but as a dense tile x Gaussian membership test processed in tile chunks.
+    re-designed for TPU as ONE fused-key sort — no scatters, no per-tile
+    loops:
+
+    1. expand each depth-sorted Gaussian into <= M (tile, rank) pairs,
+       encoded in a single int32 key ``tile_id << RANK_BITS | depth_rank``
+       (invalid pairs get INT32_MAX and sort to the tail),
+    2. ``lax.sort`` the [N*M] keys — per-tile runs come out contiguous and
+       depth-ascending, with the payload embedded in the key,
+    3. per-tile run starts via one batched searchsorted of T+1 boundaries,
+       then a [T, K] gather decodes ranks back to Gaussian indices.
+
     Tiles whose membership exceeds ``capacity`` keep the nearest ``capacity``
-    Gaussians (report via ``counts``).
+    Gaussians (true sizes reported via ``counts``).
     """
     n = proj.depths.shape[0]
+    m = max_tiles_per_gaussian
     ntx, nty, num_tiles = tile_grid(width, height, tile_size)
+    if num_tiles << RANK_BITS >= 2 ** 31:
+        raise ValueError(
+            f"{num_tiles} tiles overflow the int32 fused sort key; "
+            "raise tile_size or shard the image")
+    if n > (1 << RANK_BITS):
+        raise ValueError(f"{n} Gaussians exceed the {1 << RANK_BITS} "
+                         "rank capacity of the fused sort key")
     capacity = min(capacity, n) if n > 0 else capacity
 
     # global depth-ascending order, invalid entries last
@@ -73,37 +102,43 @@ def bin_gaussians(proj: ProjectedGaussians, width: int, height: int,
     valid = proj.valid[order]
 
     inv_ts = 1.0 / tile_size
-    tx0 = jnp.floor((m2d[:, 0] - radii) * inv_ts).astype(jnp.int32)
-    tx1 = jnp.ceil((m2d[:, 0] + radii) * inv_ts).astype(jnp.int32)
-    ty0 = jnp.floor((m2d[:, 1] - radii) * inv_ts).astype(jnp.int32)
-    ty1 = jnp.ceil((m2d[:, 1] + radii) * inv_ts).astype(jnp.int32)
+    tx0 = jnp.clip(jnp.floor((m2d[:, 0] - radii) * inv_ts), 0, ntx)
+    tx1 = jnp.clip(jnp.ceil((m2d[:, 0] + radii) * inv_ts), 0, ntx)
+    ty0 = jnp.clip(jnp.floor((m2d[:, 1] - radii) * inv_ts), 0, nty)
+    ty1 = jnp.clip(jnp.ceil((m2d[:, 1] + radii) * inv_ts), 0, nty)
+    tx0 = tx0.astype(jnp.int32); tx1 = tx1.astype(jnp.int32)
+    ty0 = ty0.astype(jnp.int32); ty1 = ty1.astype(jnp.int32)
+    span_x = jnp.maximum(tx1 - tx0, 0)
+    span_y = jnp.maximum(ty1 - ty0, 0)
 
-    num_chunks = cdiv(num_tiles, chunk)
-    padded_tiles = num_chunks * chunk
-    tile_ids = jnp.arange(padded_tiles, dtype=jnp.int32).reshape(
-        num_chunks, chunk)
-    ks = jnp.arange(1, capacity + 1, dtype=jnp.int32)
+    # expand to [N, M] candidate tiles (row-major within the span box)
+    mm = jnp.arange(m, dtype=jnp.int32)[None, :]
+    sx = jnp.maximum(span_x, 1)[:, None]
+    tx = tx0[:, None] + mm % sx
+    ty = ty0[:, None] + mm // sx
+    pair_valid = (valid[:, None] & (mm < (span_x * span_y)[:, None])
+                  & (ty < nty))
+    tile_id = ty * ntx + tx
+    rank = jnp.arange(n, dtype=jnp.int32)[:, None]
+    keys = jnp.where(pair_valid, (tile_id << RANK_BITS) | rank,
+                     jnp.int32(2 ** 31 - 1))
 
-    def chunk_fn(tids):
-        tx = tids % ntx
-        ty = tids // ntx
-        member = (valid[None, :]
-                  & (tx[:, None] >= tx0[None, :]) & (tx[:, None] < tx1[None, :])
-                  & (ty[:, None] >= ty0[None, :]) & (ty[:, None] < ty1[None, :]))
-        prefix = jnp.cumsum(member.astype(jnp.int32), axis=1)     # [C,N]
-        counts = prefix[:, -1]
-        # position of the k-th member = first index where the prefix reaches k
-        pos = jax.vmap(lambda row: jnp.searchsorted(row, ks, side="left"))(
-            prefix)                                               # [C,K]
-        slot_valid = ks[None, :] <= counts[:, None]
-        idx = order[jnp.clip(pos, 0, max(n - 1, 0))]
-        return idx.astype(jnp.int32), slot_valid, counts
+    sorted_keys = jax.lax.sort(keys.reshape(-1))                  # [N*M]
 
-    idx, slot_valid, counts = jax.lax.map(chunk_fn, tile_ids)
-    return TileBins(
-        indices=idx.reshape(padded_tiles, capacity)[:num_tiles],
-        valid=slot_valid.reshape(padded_tiles, capacity)[:num_tiles],
-        counts=counts.reshape(padded_tiles)[:num_tiles])
+    # per-tile run boundaries
+    boundaries = (jnp.arange(num_tiles + 1, dtype=jnp.int32)
+                  << RANK_BITS)
+    starts = jnp.searchsorted(sorted_keys, boundaries)            # [T+1]
+    counts = (starts[1:] - starts[:-1]).astype(jnp.int32)
+
+    kk = jnp.arange(capacity, dtype=jnp.int32)[None, :]
+    gidx = starts[:-1, None] + kk                                 # [T,K]
+    entry = sorted_keys[jnp.clip(gidx, 0, n * m - 1)]
+    slot_valid = kk < counts[:, None]
+    ranks = entry & RANK_MASK
+    indices = order[jnp.clip(ranks, 0, max(n - 1, 0))]
+    return TileBins(indices=indices.astype(jnp.int32),
+                    valid=slot_valid, counts=counts)
 
 
 def tile_origins(width: int, height: int, tile_size: int) -> jnp.ndarray:
@@ -128,11 +163,24 @@ def pixel_basis(tile_size: int) -> jnp.ndarray:
                       jnp.ones_like(px), zeros, zeros], axis=0)
 
 
-def build_tile_features(means2d_g: jnp.ndarray,    # [T,K,2] gathered centers
-                        conics_g: jnp.ndarray,     # [T,K,3]
-                        logop_g: jnp.ndarray,      # [T,K] log effective opacity
+def pack_gaussian_render_data(proj: ProjectedGaussians) -> jnp.ndarray:
+    """Pack per-Gaussian screen data into one [N,8] row matrix.
+
+    Columns: (a, b, c, mx, my, log_opacity, validf, 0). A single packed
+    array turns the per-tile gather into ONE row gather instead of four —
+    TPU gathers are overhead-bound, not bandwidth-bound.
+    """
+    logop = jnp.log(jnp.maximum(proj.opacities, 1e-12))
+    return jnp.stack([
+        proj.conics[:, 0], proj.conics[:, 1], proj.conics[:, 2],
+        proj.means2d[:, 0], proj.means2d[:, 1], logop,
+        proj.valid.astype(jnp.float32),
+        jnp.zeros_like(logop)], axis=-1)
+
+
+def build_tile_features(gathered: jnp.ndarray,     # [T,K,8] packed rows
                         origins: jnp.ndarray,      # [T,2]
-                        validf: jnp.ndarray,       # [T,K] 0/1 slot validity
+                        slot_validf: jnp.ndarray,  # [T,K] 0/1 slot validity
                         ) -> jnp.ndarray:
     """Per-(tile, Gaussian) matmul features G (see module docstring).
 
@@ -142,11 +190,13 @@ def build_tile_features(means2d_g: jnp.ndarray,    # [T,K,2] gathered centers
     [6] = log opacity against a zero basis row (extracted inside the
     compositor for the sigma>=0 numerical guard), [7] = padding.
     """
-    mx = means2d_g[..., 0] - origins[:, None, 0]
-    my = means2d_g[..., 1] - origins[:, None, 1]
-    a = conics_g[..., 0]
-    b = conics_g[..., 1]
-    c = conics_g[..., 2]
+    a = gathered[..., 0]
+    b = gathered[..., 1]
+    c = gathered[..., 2]
+    mx = gathered[..., 3] - origins[:, None, 0]
+    my = gathered[..., 4] - origins[:, None, 1]
+    logop_g = gathered[..., 5]
+    validf = slot_validf * gathered[..., 6]
     amx_bmy = a * mx + b * my
     bmx_cmy = b * mx + c * my
     const = -(0.5) * (amx_bmy * mx + bmx_cmy * my) + logop_g

@@ -1,0 +1,247 @@
+"""Multi-chip training steps: view data-parallelism and tile sharding.
+
+Two scale-out strategies over a ('views', 'tiles') mesh (see mesh.py), both
+expressed with ``shard_map`` so XLA inserts the ICI collectives:
+
+- :func:`make_dp_train_step` — *view batch* mode: every device renders its
+  shard of the view batch, local gradients are accumulated over a
+  ``lax.scan`` and ``psum``-reduced across the mesh; one Adam step per
+  batch. (Large-batch semantics; the reference's per-view SGD cadence is
+  the single-chip trainer's job.)
+- :func:`make_tile_sharded_render` — *tile* mode: one view's tile axis is
+  sharded so a single render (and its backward) spans the 'tiles' axis;
+  parameter gradients psum back to replicas. Preserves per-view SGD
+  semantics while scaling one render.
+
+Gaussian parameters are replicated; gradients ride ICI via ``psum``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from edgegaussians_tpu.config import FrameworkConfig
+from edgegaussians_tpu.models import losses
+from edgegaussians_tpu.models.gaussians import GaussianParams, render_view
+from edgegaussians_tpu.train import optim
+from edgegaussians_tpu.train.trainer import TrainState
+
+
+def make_dp_train_step(cfg: FrameworkConfig, width: int, height: int,
+                       backend: str, mesh: Mesh):
+    """Build a jitted view-data-parallel batch step.
+
+    Views (axis 0 of images/viewmats/Ks) must be sharded across the 'views'
+    mesh axis and divisible by its size; parameters replicated.
+    """
+    mcfg = cfg.model
+    pl_cfg = cfg.training.loss.projection_losses
+    render_kwargs = dict(
+        tile_size=mcfg.tile_size, capacity=mcfg.tile_gaussian_capacity,
+        backend=backend, antialiased=(mcfg.rasterize_mode == "antialiased"))
+    strategy = losses_strategy_index(pl_cfg.loss_before_alternating)
+
+    def local_grads(params, alive, images, edge_masks, viewmats, Ks, key,
+                    lambda_proj, bg_ratio):
+        """Grad sum over this device's views (lax.scan, rematerialized)."""
+        nv = images.shape[0]
+
+        def one_view(carry, iv):
+            gsum, lsum, asum, key = carry
+            key, k_bg = jax.random.split(key)
+
+            def loss_fn(p, sink):
+                out = render_view(p, alive, viewmats[iv], Ks[iv],
+                                  width, height, absgrad_sink=sink,
+                                  **render_kwargs)
+                pred = jnp.clip(out.image, 0.0, 1.0)
+                if strategy == 0:
+                    l = losses.projection_loss_whole(
+                        pred, images[iv], pl_cfg.loss_type)
+                elif strategy == 1:
+                    l = losses.projection_loss_bg_edge_ratio(
+                        pred, images[iv], edge_masks[iv], bg_ratio, k_bg)
+                else:
+                    l = losses.projection_loss_weighted(
+                        pred, images[iv],
+                        losses.compute_weight_mask(edge_masks[iv]))
+                return l, out
+
+            sink0 = jnp.zeros((params.means.shape[0], 2), jnp.float32)
+            (l, _), (g, gsink) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True)(params, sink0)
+            gsum = jax.tree.map(jnp.add, gsum, g)
+            return (gsum, lsum + l,
+                    asum + jnp.linalg.norm(gsink, axis=-1), key), None
+
+        gsum0 = jax.tree.map(jnp.zeros_like, params)
+        (gsum, lsum, asum, _), _ = jax.lax.scan(
+            one_view, (gsum0, jnp.float32(0.0),
+                       jnp.zeros((params.means.shape[0],)), key),
+            jnp.arange(nv))
+        return gsum, lsum, asum
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(), P("views"), P("views"), P("views"), P("views"),
+                  P(), P(), P()),
+        out_specs=(P(), P(), P()),
+        check_rep=False)
+    def sharded_grads(params, alive, images, edge_masks, viewmats, Ks,
+                      key, lambda_proj, bg_ratio):
+        # decorrelate per-device RNG
+        vid = jax.lax.axis_index("views")
+        tid = jax.lax.axis_index("tiles")
+        key = jax.random.fold_in(jax.random.fold_in(key, vid), tid)
+        g, l, a = local_grads(params, alive, images, edge_masks,
+                              viewmats, Ks, key, lambda_proj, bg_ratio)
+        g = jax.lax.psum(g, ("views", "tiles"))
+        l = jax.lax.psum(l, ("views", "tiles"))
+        a = jax.lax.psum(a, ("views", "tiles"))
+        ntiles = jax.lax.axis_size("tiles")
+        # the 'tiles' axis replicates DP work here; undo the double count
+        return (jax.tree.map(lambda x: x / ntiles, g), l / ntiles,
+                a / ntiles)
+
+    @jax.jit
+    def dp_step(ts: TrainState, epoch, images, edge_masks, viewmats, Ks
+                ) -> Tuple[TrainState, jnp.ndarray]:
+        num_views = images.shape[0]
+        key, k_step = jax.random.split(ts.key)
+        lrs = optim.all_lrs(cfg.training.optim, epoch)
+        lambda_proj = optim.annealed(
+            pl_cfg.lambda_start, pl_cfg.lambda_end, pl_cfg.lambda_annealing,
+            epoch, cfg.training.num_epochs)
+        bg_ratio = optim.annealed(
+            pl_cfg.bg_edge_pixel_ratio_start, pl_cfg.bg_edge_pixel_ratio_end,
+            pl_cfg.bg_edge_pixel_ratio_annealing, epoch,
+            cfg.training.num_epochs)
+
+        gs = ts.gaussians
+        grads, loss_sum, absgrad = sharded_grads(
+            gs.params, gs.alive, images, edge_masks, viewmats, Ks,
+            k_step, lambda_proj, bg_ratio)
+        grads = jax.tree.map(
+            lambda g: lambda_proj * g / num_views, grads)
+        params, opt = optim.apply_updates(gs.params, grads, ts.opt, lrs)
+        gs = gs._replace(
+            params=params,
+            absgrads=gs.absgrads + absgrad * lambda_proj / num_views,
+            absgrad_count=gs.absgrad_count + 1.0)
+        ts = TrainState(gaussians=gs, opt=opt, step=ts.step + 1, key=key)
+        return ts, loss_sum / num_views
+
+    return dp_step
+
+
+def losses_strategy_index(name: str) -> int:
+    return {"whole": 0, "bg_edge_ratio": 1, "weighted": 2}[name]
+
+
+def make_tile_sharded_render(cfg: FrameworkConfig, width: int, height: int,
+                             backend: str, mesh: Mesh):
+    """Build a tile-sharded single-view loss+grad function.
+
+    The image's tile grid is split across the 'tiles' mesh axis: every
+    device projects all Gaussians (cheap, O(N)), bins and composites only
+    its tile rows, computes a partial pixel-loss sum, and psums the
+    parameter gradients — one view's render scaled across chips with
+    reference-identical per-view semantics ('whole' L1 loss).
+    """
+    from edgegaussians_tpu.ops import tiles as tiles_mod
+    from edgegaussians_tpu.ops.composite import tile_render
+    from edgegaussians_tpu.ops.projection import project_gaussians
+    from edgegaussians_tpu.ops.tiles import bin_gaussians, pixel_basis
+
+    mcfg = cfg.model
+    ts_px = mcfg.tile_size
+    ntx, nty, num_tiles = tiles_mod.tile_grid(width, height, ts_px)
+    n_shards = mesh.shape["tiles"]
+    if nty % n_shards != 0:
+        raise ValueError(f"tile rows {nty} not divisible by mesh axis "
+                         f"'tiles'={n_shards}")
+
+    def local_loss(params, alive, viewmat, K, gt_tiles, pix_valid, sink):
+        """Loss partial-sum over this device's tile rows."""
+        tile_rows = nty // n_shards
+        shard = jax.lax.axis_index("tiles")
+        row0 = shard * tile_rows
+
+        proj = project_gaussians(
+            params.means, params.quats, jnp.exp(params.scales),
+            jax.nn.sigmoid(params.opacities[:, 0]), viewmat, K,
+            width, height, alive=alive,
+            antialiased=(mcfg.rasterize_mode == "antialiased"))
+        # shift the projection vertically so this shard's tile rows start at
+        # row 0 of a reduced-height image — binning then only produces the
+        # local tiles
+        shift = (row0 * ts_px).astype(jnp.float32)
+        proj_local = proj._replace(
+            means2d=proj.means2d - jnp.stack(
+                [jnp.zeros_like(shift), shift])[None, :])
+        local_h = tile_rows * ts_px
+        bins = bin_gaussians(jax.lax.stop_gradient(proj_local), width,
+                             local_h, ts_px, mcfg.tile_gaussian_capacity)
+
+        packed = tiles_mod.pack_gaussian_render_data(proj_local)
+        gathered = packed[bins.indices]
+        origins = tiles_mod.tile_origins(width, local_h, ts_px)
+        basis = pixel_basis(ts_px)
+        tile_imgs = tile_render(gathered, bins.valid.astype(jnp.float32),
+                                origins, basis, bins.indices, sink, backend)
+        pred = jnp.clip(tile_imgs, 0.0, 1.0)
+        # partial sum of |pred-gt| over this shard's valid pixels
+        return jnp.sum(jnp.abs(pred - gt_tiles) * pix_valid)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P("tiles"), P("tiles"), P()),
+        out_specs=(P(), P(), P()),
+        check_rep=False)
+    def sharded_loss_grad(params, alive, viewmat, K, gt_tiles, pix_valid,
+                          sink):
+        def f(p, s):
+            return local_loss(p, alive, viewmat, K, gt_tiles, pix_valid, s)
+
+        loss, (g, gsink) = jax.value_and_grad(
+            f, argnums=(0, 1))(params, sink)
+        loss = jax.lax.psum(loss, ("views", "tiles"))
+        g = jax.lax.psum(g, ("views", "tiles"))
+        gsink = jax.lax.psum(gsink, ("views", "tiles"))
+        nviews = jax.lax.axis_size("views")
+        return (loss / nviews,
+                jax.tree.map(lambda x: x / nviews, g), gsink / nviews)
+
+    @jax.jit
+    def loss_and_grad(params: GaussianParams, alive, viewmat, K, gt_image):
+        gt_tiles, pix_valid = tileize_image(gt_image, width, height, ts_px)
+        total_px = jnp.float32(width * height)
+        sink = jnp.zeros((params.means.shape[0], 2), jnp.float32)
+        loss_sum, grads, gsink = sharded_loss_grad(
+            params, alive, viewmat, K, gt_tiles, pix_valid, sink)
+        scale = 1.0 / total_px          # 'whole' strategy = mean over pixels
+        return (loss_sum * scale,
+                jax.tree.map(lambda g: g * scale, grads), gsink * scale)
+
+    return loss_and_grad
+
+
+def tileize_image(image: jnp.ndarray, width: int, height: int,
+                  tile_size: int):
+    """[H,W] image -> ([T,P] tile pixels, [T,P] validity for pad pixels)."""
+    from edgegaussians_tpu.ops.tiles import tile_grid
+    ntx, nty, _ = tile_grid(width, height, tile_size)
+    ph, pw = nty * tile_size, ntx * tile_size
+    img = jnp.pad(image, ((0, ph - height), (0, pw - width)))
+    valid = jnp.pad(jnp.ones((height, width), jnp.float32),
+                    ((0, ph - height), (0, pw - width)))
+    def to_tiles(x):
+        return x.reshape(nty, tile_size, ntx, tile_size) \
+                .transpose(0, 2, 1, 3).reshape(nty * ntx, -1)
+    return to_tiles(img), to_tiles(valid)
