@@ -24,7 +24,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from edgegaussians_tpu.config import FrameworkConfig
 from edgegaussians_tpu.models import losses
