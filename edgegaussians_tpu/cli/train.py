@@ -70,8 +70,20 @@ def main(argv=None):
         return 0
 
     os.makedirs(output_dir, exist_ok=True)
+    log_dir = os.path.join(cfg.output.log_dir, exp_name, scene_name)
+
+    # optional resume: unlike the reference (params only, schedules restart —
+    # SURVEY §3.5), our checkpoints restore optimizer state and step too.
+    initial_state = None
+    if args.ckpt_path is not None:
+        template = trainer.init_train_state(seed_pts, cfg)
+        initial_state = trainer.load_checkpoint(args.ckpt_path, template)
+        print(f"Resumed from {args.ckpt_path}")
+
     t0 = time.time()
     ts = trainer.train(scene, seed_pts, cfg, backend=args.backend,
+                       log_dir=log_dir,
+                       initial_state=initial_state,
                        checkpoint_dir=(output_dir
                                        if cfg.training.checkpoint_interval
                                        else None))

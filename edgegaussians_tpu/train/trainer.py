@@ -273,21 +273,33 @@ def init_train_state(seed_points: np.ndarray, cfg: FrameworkConfig,
 
 def train(scene, seed_points: np.ndarray, cfg: FrameworkConfig,
           backend: str = "auto", log_fn=print,
-          checkpoint_dir: Optional[str] = None) -> TrainState:
+          checkpoint_dir: Optional[str] = None,
+          log_dir: Optional[str] = None,
+          initial_state: Optional[TrainState] = None) -> TrainState:
     """Full training run on one scene (train_gaussians.py:144-222).
 
     ``scene`` is a SceneViews; returns the trained state. Checkpoints are
-    written as .npz (params + opt + step) when ``checkpoint_dir`` is set.
+    written as .npz (params + opt + step) when ``checkpoint_dir`` is set;
+    TensorBoard scalars/images go to ``log_dir`` when set (the reference
+    logs the same quantities — train_gaussians.py:96,136-139,190).
     """
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "jax"
+
+    writer = None
+    if log_dir:
+        try:
+            from tensorboardX import SummaryWriter
+            writer = SummaryWriter(log_dir)
+        except Exception:
+            pass
 
     images = jnp.asarray(scene.images, jnp.float32)
     edge_masks = images >= cfg.model.edge_detection_threshold
     viewmats = jnp.asarray(scene.viewmats)
     Ks = jnp.asarray(scene.Ks)
 
-    ts = init_train_state(seed_points, cfg)
+    ts = initial_state or init_train_state(seed_points, cfg)
     epoch_fn = make_epoch_fn(cfg, scene.width, scene.height, backend)
 
     key = jax.random.PRNGKey(cfg.training.seed + 1)
@@ -303,9 +315,25 @@ def train(scene, seed_points: np.ndarray, cfg: FrameworkConfig,
                    f"alive={int(stats.num_alive)} "
                    f"max_tile={int(stats.max_tile_count)} "
                    f"t={time.time() - t0:.1f}s")
+        if writer is not None:
+            writer.add_scalar("Projection loss", float(stats.avg_loss),
+                              epoch)
+            writer.add_scalar("num_gaussians", int(stats.num_alive), epoch)
+            if epoch % 5 == 0:
+                from edgegaussians_tpu.models.gaussians import render_view
+                out = render_view(ts.gaussians.params, ts.gaussians.alive,
+                                  viewmats[0], Ks[0], scene.width,
+                                  scene.height, backend=backend,
+                                  tile_size=cfg.model.tile_size,
+                                  capacity=cfg.model.tile_gaussian_capacity)
+                writer.add_image(
+                    "Output Image",
+                    np.clip(np.asarray(out.image), 0, 1)[None], epoch)
         if (checkpoint_dir and cfg.training.checkpoint_interval
                 and (epoch + 1) % cfg.training.checkpoint_interval == 0):
             save_checkpoint(ts, checkpoint_dir, epoch)
+    if writer is not None:
+        writer.close()
     return ts
 
 
