@@ -25,6 +25,9 @@ ITERS = 20
 
 def main():
     import jax
+
+    from edgegaussians_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     from edgegaussians_tpu.ops.rasterize import rasterize

@@ -34,6 +34,9 @@ def main(argv=None):
                     choices=["auto", "pallas", "jax"])
     args = ap.parse_args(argv)
 
+    from edgegaussians_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     cfg = load_config(args.config_file)
     scene_name = args.scene_name
 

@@ -161,3 +161,37 @@ def read_points3D_binary(path) -> Dict[int, ColmapPoint3D]:
 def points3D_xyz(points: Dict[int, ColmapPoint3D]) -> np.ndarray:
     return np.stack([p.xyz for p in points.values()]) if points else \
         np.zeros((0, 3))
+
+
+# --- writers (round-trip support; COLMAP text export format) ---------------
+
+def write_cameras_text(cameras: Dict[int, ColmapCamera], path) -> None:
+    with open(path, "w") as f:
+        f.write("# Camera list with one line of data per camera:\n"
+                "#   CAMERA_ID, MODEL, WIDTH, HEIGHT, PARAMS[]\n")
+        for cam in cameras.values():
+            params = " ".join(repr(float(p)) for p in cam.params)
+            f.write(f"{cam.id} {cam.model} {cam.width} {cam.height} "
+                    f"{params}\n")
+
+
+def write_images_text(images: Dict[int, ColmapImage], path) -> None:
+    with open(path, "w") as f:
+        f.write("# Image list with two lines of data per image:\n"
+                "#   IMAGE_ID, QW, QX, QY, QZ, TX, TY, TZ, CAMERA_ID, NAME\n"
+                "#   POINTS2D[] as (X, Y, POINT3D_ID)\n")
+        for im in images.values():
+            q = " ".join(repr(float(v)) for v in im.qvec)
+            t = " ".join(repr(float(v)) for v in im.tvec)
+            f.write(f"{im.id} {q} {t} {im.camera_id} {im.name}\n\n")
+
+
+def write_points3D_text(points: Dict[int, ColmapPoint3D], path) -> None:
+    with open(path, "w") as f:
+        f.write("# 3D point list with one line of data per point:\n"
+                "#   POINT3D_ID, X, Y, Z, R, G, B, ERROR, "
+                "TRACK[] as (IMAGE_ID, POINT2D_IDX)\n")
+        for p in points.values():
+            xyz = " ".join(repr(float(v)) for v in p.xyz)
+            rgb = " ".join(str(int(v)) for v in p.rgb)
+            f.write(f"{p.id} {xyz} {rgb} {repr(float(p.error))}\n")

@@ -80,10 +80,15 @@ def make_dp_train_step(cfg: FrameworkConfig, width: int, height: int,
             return (gsum, lsum + l,
                     asum + jnp.linalg.norm(gsink, axis=-1), key), None
 
-        gsum0 = jax.tree.map(jnp.zeros_like, params)
+        # the scan carry becomes device-varying over the 'views' axis; mark
+        # the initial zeros accordingly (new shard_map vma tracking)
+        def vary(x):
+            return jax.lax.pcast(x, ("views",), to="varying")
+
+        gsum0 = jax.tree.map(lambda x: vary(jnp.zeros_like(x)), params)
         (gsum, lsum, asum, _), _ = jax.lax.scan(
-            one_view, (gsum0, jnp.float32(0.0),
-                       jnp.zeros((params.means.shape[0],)), key),
+            one_view, (gsum0, vary(jnp.float32(0.0)),
+                       vary(jnp.zeros((params.means.shape[0],))), key),
             jnp.arange(nv))
         return gsum, lsum, asum
 
@@ -91,23 +96,22 @@ def make_dp_train_step(cfg: FrameworkConfig, width: int, height: int,
         shard_map, mesh=mesh,
         in_specs=(P(), P(), P("views"), P("views"), P("views"), P("views"),
                   P(), P(), P()),
-        out_specs=(P(), P(), P()),
-        check_rep=False)
+        out_specs=(P(), P(), P()))
     def sharded_grads(params, alive, images, edge_masks, viewmats, Ks,
                       key, lambda_proj, bg_ratio):
-        # decorrelate per-device RNG
+        # decorrelate per-device RNG along the views axis (the tiles axis
+        # intentionally replicates DP work: results stay tile-invariant so
+        # the /ntiles correction below is exact)
         vid = jax.lax.axis_index("views")
-        tid = jax.lax.axis_index("tiles")
-        key = jax.random.fold_in(jax.random.fold_in(key, vid), tid)
+        key = jax.random.fold_in(key, vid)
         g, l, a = local_grads(params, alive, images, edge_masks,
                               viewmats, Ks, key, lambda_proj, bg_ratio)
-        g = jax.lax.psum(g, ("views", "tiles"))
-        l = jax.lax.psum(l, ("views", "tiles"))
-        a = jax.lax.psum(a, ("views", "tiles"))
-        ntiles = jax.lax.axis_size("tiles")
-        # the 'tiles' axis replicates DP work here; undo the double count
-        return (jax.tree.map(lambda x: x / ntiles, g), l / ntiles,
-                a / ntiles)
+        # values are tile-invariant (DP work is replicated across 'tiles'),
+        # so the reduction rides the 'views' axis only
+        g = jax.lax.psum(g, ("views",))
+        l = jax.lax.psum(l, ("views",))
+        a = jax.lax.psum(a, ("views",))
+        return g, l, a
 
     @jax.jit
     def dp_step(ts: TrainState, epoch, images, edge_masks, viewmats, Ks
@@ -202,8 +206,7 @@ def make_tile_sharded_render(cfg: FrameworkConfig, width: int, height: int,
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(P(), P(), P(), P(), P("tiles"), P("tiles"), P()),
-        out_specs=(P(), P(), P()),
-        check_rep=False)
+        out_specs=(P(), P(), P()))
     def sharded_loss_grad(params, alive, viewmat, K, gt_tiles, pix_valid,
                           sink):
         def f(p, s):
@@ -211,12 +214,11 @@ def make_tile_sharded_render(cfg: FrameworkConfig, width: int, height: int,
 
         loss, (g, gsink) = jax.value_and_grad(
             f, argnums=(0, 1))(params, sink)
-        loss = jax.lax.psum(loss, ("views", "tiles"))
-        g = jax.lax.psum(g, ("views", "tiles"))
-        gsink = jax.lax.psum(gsink, ("views", "tiles"))
-        nviews = jax.lax.axis_size("views")
-        return (loss / nviews,
-                jax.tree.map(lambda x: x / nviews, g), gsink / nviews)
+        # partial sums vary over 'tiles' only (inputs are view-invariant)
+        loss = jax.lax.psum(loss, ("tiles",))
+        g = jax.lax.psum(g, ("tiles",))
+        gsink = jax.lax.psum(gsink, ("tiles",))
+        return loss, g, gsink
 
     @jax.jit
     def loss_and_grad(params: GaussianParams, alive, viewmat, K, gt_image):
