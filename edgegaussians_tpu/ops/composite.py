@@ -82,18 +82,19 @@ def _render_impl(gathered, slot_validf, origins, basis, backend: str):
     return _composite_jax(feats, basis)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
-def tile_render(gathered, slot_validf, origins, basis, indices, sink,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def tile_render(gathered, slot_validf, origins, basis, ranks, order, sink,
                 backend: str = "jax"):
     """Render all tiles: gathered per-tile Gaussians -> [T, P] intensities.
 
     Args:
-      gathered:    [T,K,8] gathered packed rows (pack_gaussian_render_data;
-                   differentiable).
+      gathered:    [T,K,8] gathered packed rows (pack_gaussian_render_data,
+                   depth-sorted frame; differentiable).
       slot_validf: [T,K]   float 0/1 bin-slot validity.
       origins:     [T,2]   tile origins (constant).
       basis:       [8,P]   tile-local pixel monomial basis (constant).
-      indices:     [T,K]   int32 gathered Gaussian ids (for absgrad scatter).
+      ranks:       [T,K]   int32 depth ranks (for the absgrad scatter).
+      order:       [N]     int32 rank -> Gaussian id permutation.
       sink:        [N,2]   zeros; its gradient receives the per-Gaussian
                    accumulated |d means2d| (absgrad).
       backend:     'jax' | 'pallas'.
@@ -101,15 +102,15 @@ def tile_render(gathered, slot_validf, origins, basis, indices, sink,
     return _render_impl(gathered, slot_validf, origins, basis, backend)
 
 
-def _tile_render_fwd(gathered, slot_validf, origins, basis, indices, sink,
-                     backend):
+def _tile_render_fwd(gathered, slot_validf, origins, basis, ranks, order,
+                     sink, backend):
     out = _render_impl(gathered, slot_validf, origins, basis, backend)
-    return out, (gathered, slot_validf, origins, basis, indices,
+    return out, (gathered, slot_validf, origins, basis, ranks, order,
                  sink.shape[0])
 
 
 def _tile_render_bwd(backend, res, g):
-    gathered, slot_validf, origins, basis, indices, n = res
+    gathered, slot_validf, origins, basis, ranks, order, n = res
 
     if backend == "pallas":
         from edgegaussians_tpu.ops import pallas_raster
@@ -128,14 +129,20 @@ def _tile_render_bwd(backend, res, g):
 
     # absgrad: per-Gaussian sum over tiles of |d means2d| (gsplat absgrad
     # semantics; consumed by duplicate_high_pos_gradients — edge_gs.py:544).
-    # Columns 3:5 of the packed rows are the screen-space center.
+    # Columns 3:5 of the packed rows are the screen-space center. Accumulate
+    # in the depth-sorted frame (ranks), then unpermute via order — both
+    # scatters are cheap vs. decoding global ids per tile slot.
     contrib = jnp.abs(dgathered[..., 3:5]) * slot_validf[..., None]
-    dsink = jnp.zeros((n, 2), dtype=dgathered.dtype).at[
-        indices.reshape(-1)].add(contrib.reshape(-1, 2), mode="drop")
+    sorted_sink = jnp.zeros((n, 2), dtype=dgathered.dtype).at[
+        ranks.reshape(-1)].add(contrib.reshape(-1, 2), mode="drop")
+    dsink = jnp.zeros((n, 2), dtype=dgathered.dtype).at[order].add(
+        sorted_sink, mode="drop")
 
-    zero_idx = np.zeros(indices.shape, dtype=jax.dtypes.float0)
+    zero_ranks = np.zeros(ranks.shape, dtype=jax.dtypes.float0)
+    zero_order = np.zeros(order.shape, dtype=jax.dtypes.float0)
     return (dgathered, jnp.zeros_like(slot_validf),
-            jnp.zeros_like(origins), jnp.zeros_like(basis), zero_idx, dsink)
+            jnp.zeros_like(origins), jnp.zeros_like(basis), zero_ranks,
+            zero_order, dsink)
 
 
 tile_render.defvjp(_tile_render_fwd, _tile_render_bwd)

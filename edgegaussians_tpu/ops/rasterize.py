@@ -66,10 +66,10 @@ def rasterize(
 
     bins = bin_gaussians(jax.lax.stop_gradient(proj), width, height,
                          tile_size, capacity)
-    idx = bins.indices                                    # [T,Kc]
 
     packed = tiles_mod.pack_gaussian_render_data(proj)    # [N,8]
-    gathered = packed[idx]                                # [T,Kc,8] one gather
+    packed_sorted = packed[bins.order]                    # [N,8] cheap permute
+    gathered = packed_sorted[bins.ranks]                  # [T,Kc,8] row gather
     slot_validf = bins.valid.astype(jnp.float32)
 
     origins = tile_origins(width, height, tile_size)
@@ -78,7 +78,8 @@ def rasterize(
         absgrad_sink = jnp.zeros((n, 2), dtype=jnp.float32)
 
     tile_imgs = tile_render(gathered, slot_validf, origins,
-                            basis, idx, absgrad_sink, backend)
+                            basis, bins.ranks, bins.order, absgrad_sink,
+                            backend)
     image = assemble_image(tile_imgs, width, height, tile_size)
     return RenderResult(
         image=image,

@@ -38,10 +38,18 @@ def cdiv(a: int, b: int) -> int:
 
 
 class TileBins(NamedTuple):
-    """Depth-ordered per-tile Gaussian lists (static shapes)."""
-    indices: jnp.ndarray   # [T,K] int32 gaussian ids (depth-ascending; clipped)
+    """Depth-ordered per-tile Gaussian lists (static shapes).
+
+    Per-tile entries are *depth ranks* — positions in the global
+    depth-ascending order — not raw Gaussian ids: consumers gather from
+    rank-permuted arrays (``packed[order]``) because a [T,K] row gather is
+    ~10x cheaper on TPU than the 1-D ``order[ranks]`` id decode, and the
+    rank->id unpermute is a cheap [N]-sized op where needed.
+    """
+    ranks: jnp.ndarray     # [T,K] int32 depth ranks (clipped)
     valid: jnp.ndarray     # [T,K] bool
     counts: jnp.ndarray    # [T] int32 true number of intersecting Gaussians
+    order: jnp.ndarray     # [N] int32: order[rank] = gaussian id
 
 
 def tile_grid(width: int, height: int, tile_size: int):
@@ -124,6 +132,10 @@ def bin_gaussians(proj: ProjectedGaussians, width: int, height: int,
                      jnp.int32(2 ** 31 - 1))
 
     sorted_keys = jax.lax.sort(keys.reshape(-1))                  # [N*M]
+    pad8 = (-sorted_keys.shape[0]) % 8
+    if pad8:   # the row-gather below reads 8-wide rows
+        sorted_keys = jnp.pad(sorted_keys, (0, pad8),
+                              constant_values=2 ** 31 - 1)
 
     # per-tile run boundaries
     boundaries = (jnp.arange(num_tiles + 1, dtype=jnp.int32)
@@ -132,13 +144,19 @@ def bin_gaussians(proj: ProjectedGaussians, width: int, height: int,
     counts = (starts[1:] - starts[:-1]).astype(jnp.int32)
 
     kk = jnp.arange(capacity, dtype=jnp.int32)[None, :]
-    gidx = starts[:-1, None] + kk                                 # [T,K]
-    entry = sorted_keys[jnp.clip(gidx, 0, n * m - 1)]
+    gidx = jnp.clip(starts[:-1, None] + kk, 0, n * m - 1)         # [T,K]
+    # 1-D gathers are ~10x slower than row gathers on TPU: fetch 8-wide rows
+    # and select the lane with a one-hot dot instead of a scalar gather.
+    skeys_2d = sorted_keys.reshape(-1, 8)
+    rows = skeys_2d[gidx >> 3]                                    # [T,K,8]
+    onehot = (jnp.arange(8, dtype=jnp.int32)[None, None, :]
+              == (gidx & 7)[..., None])
+    entry = jnp.sum(jnp.where(onehot, rows, 0), axis=-1)
     slot_valid = kk < counts[:, None]
-    ranks = entry & RANK_MASK
-    indices = order[jnp.clip(ranks, 0, max(n - 1, 0))]
-    return TileBins(indices=indices.astype(jnp.int32),
-                    valid=slot_valid, counts=counts)
+    ranks = jnp.clip(entry & RANK_MASK, 0, max(n - 1, 0))
+    return TileBins(ranks=ranks.astype(jnp.int32),
+                    valid=slot_valid, counts=counts,
+                    order=order.astype(jnp.int32))
 
 
 def tile_origins(width: int, height: int, tile_size: int) -> jnp.ndarray:

@@ -194,11 +194,13 @@ def make_tile_sharded_render(cfg: FrameworkConfig, width: int, height: int,
                              local_h, ts_px, mcfg.tile_gaussian_capacity)
 
         packed = tiles_mod.pack_gaussian_render_data(proj_local)
-        gathered = packed[bins.indices]
+        packed_sorted = packed[bins.order]
+        gathered = packed_sorted[bins.ranks]
         origins = tiles_mod.tile_origins(width, local_h, ts_px)
         basis = pixel_basis(ts_px)
         tile_imgs = tile_render(gathered, bins.valid.astype(jnp.float32),
-                                origins, basis, bins.indices, sink, backend)
+                                origins, basis, bins.ranks, bins.order,
+                                sink, backend)
         pred = jnp.clip(tile_imgs, 0.0, 1.0)
         # partial sum of |pred-gt| over this shard's valid pixels
         return jnp.sum(jnp.abs(pred - gt_tiles) * pix_valid)
