@@ -74,17 +74,21 @@ def _composite_jax(feats, basis, chunk: int = 64):
     return out.reshape(-1, basis.shape[1])[:T]
 
 
-def _render_impl(gathered, slot_validf, origins, basis, backend: str):
+def _render_impl(gathered, slot_validf, origins, basis, counts,
+                 backend: str):
     feats = build_tile_features(gathered, origins, slot_validf)
     if backend == "pallas":
+        from edgegaussians_tpu.ops import pallas_raster_v2
+        return pallas_raster_v2.composite_fwd(feats, counts, basis)
+    if backend == "pallas_v1":
         from edgegaussians_tpu.ops import pallas_raster
         return pallas_raster.composite_fwd(feats, basis)
     return _composite_jax(feats, basis)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
 def tile_render(gathered, slot_validf, origins, basis, ranks, order, sink,
-                backend: str = "jax"):
+                counts=None, backend: str = "jax"):
     """Render all tiles: gathered per-tile Gaussians -> [T, P] intensities.
 
     Args:
@@ -97,25 +101,41 @@ def tile_render(gathered, slot_validf, origins, basis, ranks, order, sink,
       order:       [N]     int32 rank -> Gaussian id permutation.
       sink:        [N,2]   zeros; its gradient receives the per-Gaussian
                    accumulated |d means2d| (absgrad).
-      backend:     'jax' | 'pallas'.
+      counts:      [T]     int32 true per-tile occupancy (drives the v2
+                   kernel's chunk predication; None -> derive from validf).
+      backend:     'jax' | 'pallas' (chunked v2) | 'pallas_v1'.
     """
-    return _render_impl(gathered, slot_validf, origins, basis, backend)
+    counts = _resolve_counts(counts, slot_validf)
+    return _render_impl(gathered, slot_validf, origins, basis, counts,
+                        backend)
+
+
+def _resolve_counts(counts, slot_validf):
+    if counts is None:
+        return jnp.sum(slot_validf > 0, axis=1).astype(jnp.int32)
+    return counts
 
 
 def _tile_render_fwd(gathered, slot_validf, origins, basis, ranks, order,
-                     sink, backend):
-    out = _render_impl(gathered, slot_validf, origins, basis, backend)
+                     sink, counts, backend):
+    counts = _resolve_counts(counts, slot_validf)
+    out = _render_impl(gathered, slot_validf, origins, basis, counts,
+                       backend)
     return out, (gathered, slot_validf, origins, basis, ranks, order,
-                 sink.shape[0])
+                 counts, sink.shape[0])
 
 
 def _tile_render_bwd(backend, res, g):
-    gathered, slot_validf, origins, basis, ranks, order, n = res
+    gathered, slot_validf, origins, basis, ranks, order, counts, n = res
 
-    if backend == "pallas":
-        from edgegaussians_tpu.ops import pallas_raster
+    if backend in ("pallas", "pallas_v1"):
         feats = build_tile_features(gathered, origins, slot_validf)
-        dfeats = pallas_raster.composite_bwd(feats, basis, g)
+        if backend == "pallas":
+            from edgegaussians_tpu.ops import pallas_raster_v2
+            dfeats = pallas_raster_v2.composite_bwd(feats, counts, basis, g)
+        else:
+            from edgegaussians_tpu.ops import pallas_raster
+            dfeats = pallas_raster.composite_bwd(feats, basis, g)
         _, feat_vjp = jax.vjp(
             lambda ga: build_tile_features(ga, origins, slot_validf),
             gathered)
@@ -123,7 +143,7 @@ def _tile_render_bwd(backend, res, g):
     else:
         _, vjp_fn = jax.vjp(
             lambda ga: _render_impl(ga, slot_validf, origins, basis,
-                                    backend),
+                                    counts, backend),
             gathered)
         (dgathered,) = vjp_fn(g)
 
@@ -140,9 +160,10 @@ def _tile_render_bwd(backend, res, g):
 
     zero_ranks = np.zeros(ranks.shape, dtype=jax.dtypes.float0)
     zero_order = np.zeros(order.shape, dtype=jax.dtypes.float0)
+    zero_counts = np.zeros(counts.shape, dtype=jax.dtypes.float0)
     return (dgathered, jnp.zeros_like(slot_validf),
             jnp.zeros_like(origins), jnp.zeros_like(basis), zero_ranks,
-            zero_order, dsink)
+            zero_order, dsink, zero_counts)
 
 
 tile_render.defvjp(_tile_render_fwd, _tile_render_bwd)

@@ -77,9 +77,10 @@ def rasterize(
     if absgrad_sink is None:
         absgrad_sink = jnp.zeros((n, 2), dtype=jnp.float32)
 
+    counts = jnp.minimum(bins.counts, bins.ranks.shape[1])
     tile_imgs = tile_render(gathered, slot_validf, origins,
                             basis, bins.ranks, bins.order, absgrad_sink,
-                            backend)
+                            counts, backend)
     image = assemble_image(tile_imgs, width, height, tile_size)
     return RenderResult(
         image=image,

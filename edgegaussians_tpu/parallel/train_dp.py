@@ -198,9 +198,10 @@ def make_tile_sharded_render(cfg: FrameworkConfig, width: int, height: int,
         gathered = packed_sorted[bins.ranks]
         origins = tiles_mod.tile_origins(width, local_h, ts_px)
         basis = pixel_basis(ts_px)
+        counts = jnp.minimum(bins.counts, mcfg.tile_gaussian_capacity)
         tile_imgs = tile_render(gathered, bins.valid.astype(jnp.float32),
                                 origins, basis, bins.ranks, bins.order,
-                                sink, backend)
+                                sink, counts, backend)
         pred = jnp.clip(tile_imgs, 0.0, 1.0)
         # partial sum of |pred-gt| over this shard's valid pixels
         return jnp.sum(jnp.abs(pred - gt_tiles) * pix_valid)
