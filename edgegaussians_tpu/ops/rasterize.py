@@ -49,6 +49,7 @@ def rasterize(
     *,
     tile_size: int = 16,
     capacity: int = 512,
+    max_tiles_per_gaussian: int = 64,
     backend: str = "jax",
     antialiased: bool = True,
     near_plane: float = 0.01,
@@ -65,7 +66,8 @@ def rasterize(
         antialiased=antialiased, alive=alive)
 
     bins = bin_gaussians(jax.lax.stop_gradient(proj), width, height,
-                         tile_size, capacity)
+                         tile_size, capacity,
+                         max_tiles_per_gaussian=max_tiles_per_gaussian)
 
     packed = tiles_mod.pack_gaussian_render_data(proj)    # [N,8]
     packed_sorted = packed[bins.order]                    # [N,8] cheap permute
