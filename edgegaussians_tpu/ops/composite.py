@@ -167,3 +167,175 @@ def _tile_render_bwd(backend, res, g):
 
 
 tile_render.defvjp(_tile_render_fwd, _tile_render_bwd)
+
+
+# --- two-level capacity rendering -------------------------------------------
+#
+# Real edge scenes are sparse: median tile occupancy is ~0 while a few tiles
+# hold hundreds of Gaussians, so a dense [T, K] frame wastes ~K/mean-count of
+# all gather/scatter/composite work. The two-level path renders every tile's
+# first K1 slots densely, then finishes only a static budget of the
+# highest-occupancy tiles over the remaining capacity, compositing the
+# carried transmittance (see pallas_raster_v2 segment kernels). The suffix
+# term of the backward uses the global per-tile total, which makes the
+# level-1 gradients account for level-2 contributions exactly.
+
+
+def _composite_tile_seg(feats, t_in, basis):
+    """One tile segment in product space: [K,8], [P] -> ([P], [P] t_out)."""
+    logalpha = jnp.dot(feats, basis, preferred_element_type=jnp.float32)
+    logop = feats[:, 6:7]
+    alpha = jnp.exp(logalpha)
+    ok = (logalpha <= logop) & (alpha >= ALPHA_THRESHOLD)
+    alpha = jnp.where(ok, jnp.minimum(alpha, ALPHA_CLAMP), 0.0)
+
+    om = 1.0 - alpha
+    t_inc = t_in[None, :] * jnp.cumprod(om, axis=0)
+    keep = t_inc >= TRANSMITTANCE_EPS
+    t_prev = t_inc / om
+    img = jnp.sum(alpha * t_prev * keep, axis=0)
+    k = feats.shape[0]
+    return img, t_inc[k - 1]
+
+
+def _composite_jax_seg(feats, basis, t_in, chunk: int = 64):
+    """Chunked segment compositor (pure XLA, autodiff oracle)."""
+    T = feats.shape[0]
+    pad = (-T) % chunk
+    if pad:
+        feats = jnp.pad(feats, ((0, pad), (0, 0), (0, 0)))
+        t_in = jnp.pad(t_in, ((0, pad), (0, 0)), constant_values=1.0)
+    n_chunks = feats.shape[0] // chunk
+
+    tile_fn = jax.checkpoint(
+        jax.vmap(_composite_tile_seg, in_axes=(0, 0, None)))
+
+    def chunk_fn(args):
+        f, t0 = args
+        return tile_fn(f, t0, basis)
+
+    img, tout = jax.lax.map(chunk_fn, (
+        feats.reshape(n_chunks, chunk, *feats.shape[1:]),
+        t_in.reshape(n_chunks, chunk, t_in.shape[1])))
+    p = basis.shape[1]
+    return img.reshape(-1, p)[:T], tout.reshape(-1, p)[:T]
+
+
+def _two_level_fwd_impl(packed_sorted, ranks, counts, origins, basis,
+                        k1: int, t2: int, backend: str):
+    """Forward pass; returns (images, residuals-for-bwd)."""
+    T, K = ranks.shape
+    kk1 = jnp.arange(k1, dtype=jnp.int32)[None, :]
+
+    ranks1 = ranks[:, :k1]
+    g1 = packed_sorted[ranks1]                                # [T,k1,8]
+    validf1 = (kk1 < counts[:, None]).astype(jnp.float32)
+    feats1 = build_tile_features(g1, origins, validf1)
+    counts1 = jnp.minimum(counts, k1)
+
+    ovf_counts, ovf_ids = jax.lax.top_k(counts, t2)
+    ranks2 = ranks[ovf_ids, k1:]                              # [t2,K-k1]
+    g2 = packed_sorted[ranks2]
+    counts2 = jnp.maximum(ovf_counts - k1, 0)
+    kk2 = jnp.arange(K - k1, dtype=jnp.int32)[None, :]
+    validf2 = (kk2 < counts2[:, None]).astype(jnp.float32)
+    feats2 = build_tile_features(g2, origins[ovf_ids], validf2)
+
+    if backend == "pallas":
+        from edgegaussians_tpu.ops import pallas_raster_v2 as v2
+        img1, tout1 = v2.composite_fwd_seg(feats1, counts1, basis)
+        tin2 = tout1[ovf_ids]
+        img2, _ = v2.composite_fwd_seg(feats2, counts2, basis, tin2)
+    else:
+        ones = jnp.ones((T, basis.shape[1]), jnp.float32)
+        img1, tout1 = _composite_jax_seg(feats1, basis, ones)
+        tin2 = tout1[ovf_ids]
+        img2, _ = _composite_jax_seg(feats2, basis, tin2)
+
+    images = img1.at[ovf_ids].add(img2)
+    res = (g1, g2, validf1, validf2, counts1, counts2, ovf_ids,
+           img1, tin2, images)
+    return images, res
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def tile_render_two_level(packed_sorted, ranks, counts, origins, basis,
+                          order, sink, k1: int = 128, t2: int = 256,
+                          backend: str = "jax"):
+    """Two-level tile rendering: [N,8] packed rows -> [T,P] intensities.
+
+    Args mirror :func:`tile_render` but the gathers happen inside (only
+    T*k1 + t2*(K-k1) rows instead of T*K). ``k1``: dense capacity per tile;
+    ``t2``: static budget of overflow tiles (top-k by occupancy; tiles
+    beyond the budget are truncated at k1 — monitor RenderResult counts).
+    """
+    images, _ = _two_level_fwd_impl(packed_sorted, ranks, counts, origins,
+                                    basis, k1, t2, backend)
+    return images
+
+
+def _tl_fwd(packed_sorted, ranks, counts, origins, basis, order, sink,
+            k1, t2, backend):
+    images, res = _two_level_fwd_impl(packed_sorted, ranks, counts,
+                                      origins, basis, k1, t2, backend)
+    return images, (packed_sorted.shape[0], ranks, counts, origins, basis,
+                    order, res)
+
+
+def _tl_bwd(k1, t2, backend, saved, g):
+    n, ranks, counts, origins, basis, order, res = saved
+    (g1, g2, validf1, validf2, counts1, counts2, ovf_ids,
+     img1, tin2, images) = res
+
+    if backend == "pallas":
+        from edgegaussians_tpu.ops import pallas_raster_v2 as v2
+        feats1 = build_tile_features(g1, origins, validf1)
+        feats2 = build_tile_features(g2, origins[ovf_ids], validf2)
+        dfeats1 = v2.composite_bwd_seg(
+            feats1, counts1, basis, g, None, None, images)
+        dfeats2 = v2.composite_bwd_seg(
+            feats2, counts2, basis, g[ovf_ids], tin2, img1[ovf_ids],
+            images[ovf_ids])
+        _, vjp1 = jax.vjp(
+            lambda a: build_tile_features(a, origins, validf1), g1)
+        (dg1,) = vjp1(dfeats1)
+        _, vjp2 = jax.vjp(
+            lambda a: build_tile_features(a, origins[ovf_ids], validf2), g2)
+        (dg2,) = vjp2(dfeats2)
+    else:
+        def inner(a1, a2):
+            feats1 = build_tile_features(a1, origins, validf1)
+            feats2 = build_tile_features(a2, origins[ovf_ids], validf2)
+            ones = jnp.ones((ranks.shape[0], basis.shape[1]), jnp.float32)
+            i1, tout1 = _composite_jax_seg(feats1, basis, ones)
+            i2, _ = _composite_jax_seg(feats2, basis, tout1[ovf_ids])
+            return i1.at[ovf_ids].add(i2)
+
+        _, vjp_fn = jax.vjp(inner, g1, g2)
+        dg1, dg2 = vjp_fn(g)
+
+    ranks1 = ranks[:, :k1]
+    ranks2 = ranks[ovf_ids, k1:]
+    dpacked = jnp.zeros((n, 8), dtype=dg1.dtype)
+    dpacked = dpacked.at[ranks1.reshape(-1)].add(
+        dg1.reshape(-1, 8), mode="drop")
+    dpacked = dpacked.at[ranks2.reshape(-1)].add(
+        dg2.reshape(-1, 8), mode="drop")
+
+    # absgrad (sorted frame -> original ids)
+    c1 = jnp.abs(dg1[..., 3:5]) * validf1[..., None]
+    c2 = jnp.abs(dg2[..., 3:5]) * validf2[..., None]
+    sorted_sink = jnp.zeros((n, 2), dtype=dg1.dtype)
+    sorted_sink = sorted_sink.at[ranks1.reshape(-1)].add(
+        c1.reshape(-1, 2), mode="drop")
+    sorted_sink = sorted_sink.at[ranks2.reshape(-1)].add(
+        c2.reshape(-1, 2), mode="drop")
+    dsink = jnp.zeros((n, 2), dtype=dg1.dtype).at[order].add(
+        sorted_sink, mode="drop")
+
+    f0 = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)
+    return (dpacked, f0(ranks), f0(counts), jnp.zeros_like(origins),
+            jnp.zeros_like(basis), f0(order), dsink)
+
+
+tile_render_two_level.defvjp(_tl_fwd, _tl_bwd)

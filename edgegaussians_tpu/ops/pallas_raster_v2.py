@@ -67,7 +67,8 @@ def _chunk_alpha(f8k_chunk, basis):
     return alpha, ok
 
 
-def _fwd_kernel(counts_ref, feats_ref, basis_ref, out_ref, *, chunk):
+def _fwd_kernel(counts_ref, feats_ref, basis_ref, tin_ref, out_ref,
+                tout_ref, *, chunk):
     CHUNK = chunk
     basis = basis_ref[:]
     p = basis.shape[1]
@@ -97,13 +98,15 @@ def _fwd_kernel(counts_ref, feats_ref, basis_ref, out_ref, *, chunk):
             return jax.lax.cond(do, work, lambda a: a, (img, t_carry))
 
         img0 = jnp.zeros((1, p), jnp.float32)
-        t0 = jnp.ones((1, p), jnp.float32)
-        img, _ = jax.lax.fori_loop(0, n_chunks, chunk_step, (img0, t0))
+        t0 = tin_ref[i][None, :]
+        img, t_fin = jax.lax.fori_loop(0, n_chunks, chunk_step, (img0, t0))
         out_ref[i] = img[0]
+        tout_ref[i] = t_fin[0]
 
 
-def _bwd_kernel(counts_ref, feats_ref, basis_ref, g_ref, dfeats_ref,
-                tcarry_scr, csum_scr, *, chunk):
+def _bwd_kernel(counts_ref, feats_ref, basis_ref, g_ref, tin_ref,
+                prior_ref, total_ref, dfeats_ref, tcarry_scr, csum_scr,
+                *, chunk):
     CHUNK = chunk
     basis = basis_ref[:]
     p = basis.shape[1]
@@ -114,7 +117,9 @@ def _bwd_kernel(counts_ref, feats_ref, basis_ref, g_ref, dfeats_ref,
         count = counts_ref[i, 0]
         needed = (count + CHUNK - 1) // CHUNK
 
-        # pass A: replay forward, stash per-chunk entry state
+        # pass A: replay forward, stash per-chunk entry state. The running
+        # contribution sum starts at `prior` (contributions of earlier
+        # capacity segments) so the suffix term below is global.
         def replay(c, carry):
             csum, t_carry = carry
             tcarry_scr[c] = t_carry[0]
@@ -134,9 +139,12 @@ def _bwd_kernel(counts_ref, feats_ref, basis_ref, g_ref, dfeats_ref,
             do = (c < needed) & (jnp.max(t_carry) >= TRANSMITTANCE_EPS)
             return jax.lax.cond(do, work, lambda a: a, (csum, t_carry))
 
-        csum0 = jnp.zeros((1, p), jnp.float32)
-        t0 = jnp.ones((1, p), jnp.float32)
-        total, _ = jax.lax.fori_loop(0, n_chunks, replay, (csum0, t0))
+        csum0 = prior_ref[i][None, :]
+        t0 = tin_ref[i][None, :]
+        jax.lax.fori_loop(0, n_chunks, replay, (csum0, t0))
+        # suffix gradients use the GLOBAL total (all segments), not the
+        # replayed local sum
+        total = total_ref[i][None, :]
 
         # pass B: per-chunk gradients using the stashed entry state
         g = g_ref[i][None, :]                                  # [1,P]
@@ -195,13 +203,26 @@ def _auto_interpret() -> bool:
 
 def composite_fwd(feats, counts, basis, interpret: bool | None = None):
     """[T,K,8] feats + [T] counts -> [T,P] tile intensities."""
-    return _composite_fwd(feats, counts, basis,
-                          _auto_interpret() if interpret is None
-                          else interpret)
+    img, _ = composite_fwd_seg(feats, counts, basis, None, interpret)
+    return img
+
+
+def composite_fwd_seg(feats, counts, basis, t_in=None,
+                      interpret: bool | None = None):
+    """Segment forward: carried transmittance in -> (intensities, t_out).
+
+    ``t_in=None`` starts fresh (transmittance 1). Segments compose:
+    a capacity range [0,K1) rendered with t_in=1 then [K1,K) rendered with
+    the returned t_out yields exactly the single-pass result.
+    """
+    interpret = _auto_interpret() if interpret is None else interpret
+    if t_in is None:
+        t_in = jnp.ones((feats.shape[0], basis.shape[1]), jnp.float32)
+    return _composite_fwd(feats, counts, basis, t_in, interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _composite_fwd(feats, counts, basis, interpret: bool = False):
+def _composite_fwd(feats, counts, basis, t_in, interpret: bool = False):
     t, k, _ = feats.shape
     p = basis.shape[1]
     tb = TILE_BLOCK
@@ -209,9 +230,10 @@ def _composite_fwd(feats, counts, basis, interpret: bool = False):
     assert k % chunk == 0, f"capacity {k} must be a multiple of {chunk}"
     feats_t = _pad_tiles(jnp.swapaxes(feats, 1, 2), tb)        # [Tp,8,K]
     counts_p = _pad_tiles(counts.astype(jnp.int32)[:, None], tb)
+    tin_p = _pad_tiles(t_in, tb)
     tp = feats_t.shape[0]
 
-    out = pl.pallas_call(
+    img, tout = pl.pallas_call(
         functools.partial(_fwd_kernel, chunk=chunk),
         grid=(tp // tb,),
         in_specs=[
@@ -220,28 +242,57 @@ def _composite_fwd(feats, counts, basis, interpret: bool = False):
             pl.BlockSpec((tb, 8, k), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, p), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, p), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tb, p), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((tp, p), jnp.float32),
+        out_specs=(
+            pl.BlockSpec((tb, p), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, p), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((tp, p), jnp.float32),
+            jax.ShapeDtypeStruct((tp, p), jnp.float32),
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * tp * k * 9 * p + 14 * tp * k * p,
             bytes_accessed=tp * k * 8 * 4 + tp * p * 4,
             transcendentals=tp * k * p),
         interpret=interpret,
-    )(counts_p, feats_t, basis)
-    return out[:t]
+    )(counts_p, feats_t, basis, tin_p)
+    return img[:t], tout[:t]
 
 
 def composite_bwd(feats, counts, basis, g, interpret: bool | None = None):
     """VJP wrt feats: upstream [T,P] -> d feats [T,K,8]."""
-    return _composite_bwd(feats, counts, basis, g,
-                          _auto_interpret() if interpret is None
-                          else interpret)
+    img, _ = composite_fwd_seg(feats, counts, basis, None, interpret)
+    return composite_bwd_seg(feats, counts, basis, g, None, None, img,
+                             interpret)
+
+
+def composite_bwd_seg(feats, counts, basis, g, t_in, prior, total,
+                      interpret: bool | None = None):
+    """Segment VJP wrt feats.
+
+    ``t_in``: carried transmittance entering the segment (None -> 1);
+    ``prior``: contribution sum of earlier segments (None -> 0);
+    ``total``: GLOBAL per-tile contribution sum across all segments — the
+    suffix term of d alpha then accounts for later segments automatically.
+    """
+    interpret = _auto_interpret() if interpret is None else interpret
+    t, _, _ = feats.shape
+    p = basis.shape[1]
+    if t_in is None:
+        t_in = jnp.ones((t, p), jnp.float32)
+    if prior is None:
+        prior = jnp.zeros((t, p), jnp.float32)
+    return _composite_bwd(feats, counts, basis, g, t_in, prior, total,
+                          interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _composite_bwd(feats, counts, basis, g, interpret: bool = False):
+def _composite_bwd(feats, counts, basis, g, t_in, prior, total,
+                   interpret: bool = False):
     t, k, _ = feats.shape
     p = basis.shape[1]
     tb = TILE_BLOCK
@@ -251,8 +302,13 @@ def _composite_bwd(feats, counts, basis, g, interpret: bool = False):
     feats_t = _pad_tiles(jnp.swapaxes(feats, 1, 2), tb)
     counts_p = _pad_tiles(counts.astype(jnp.int32)[:, None], tb)
     g_p = _pad_tiles(g, tb)
+    tin_p = _pad_tiles(t_in, tb)
+    prior_p = _pad_tiles(prior, tb)
+    total_p = _pad_tiles(total, tb)
     tp = feats_t.shape[0]
 
+    pk_spec = pl.BlockSpec((tb, p), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
     dfeats_t = pl.pallas_call(
         functools.partial(_bwd_kernel, chunk=chunk),
         grid=(tp // tb,),
@@ -262,7 +318,7 @@ def _composite_bwd(feats, counts, basis, g, interpret: bool = False):
             pl.BlockSpec((tb, 8, k), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, p), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, p), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pk_spec, pk_spec, pk_spec, pk_spec,
         ],
         out_specs=pl.BlockSpec((tb, 8, k), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -276,5 +332,5 @@ def _composite_bwd(feats, counts, basis, g, interpret: bool = False):
             bytes_accessed=2 * tp * k * 8 * 4 + tp * p * 4,
             transcendentals=2 * tp * k * p),
         interpret=interpret,
-    )(counts_p, feats_t, basis, g_p)
+    )(counts_p, feats_t, basis, g_p, tin_p, prior_p, total_p)
     return jnp.swapaxes(dfeats_t[:t], 1, 2)

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from edgegaussians_tpu.ops import tiles as tiles_mod
-from edgegaussians_tpu.ops.composite import tile_render
+from edgegaussians_tpu.ops.composite import (tile_render, tile_render_two_level)
 from edgegaussians_tpu.ops.projection import project_gaussians
 from edgegaussians_tpu.ops.tiles import (
     assemble_image, bin_gaussians, pixel_basis, tile_origins)
@@ -50,6 +50,8 @@ def rasterize(
     tile_size: int = 16,
     capacity: int = 512,
     max_tiles_per_gaussian: int = 64,
+    dense_capacity: int = 0,     # 0 = single-level; else two-level K1
+    overflow_tiles: int = 0,     # 0 = auto (T//4); budget of level-2 tiles
     backend: str = "jax",
     antialiased: bool = True,
     near_plane: float = 0.01,
@@ -71,18 +73,28 @@ def rasterize(
 
     packed = tiles_mod.pack_gaussian_render_data(proj)    # [N,8]
     packed_sorted = packed[bins.order]                    # [N,8] cheap permute
-    gathered = packed_sorted[bins.ranks]                  # [T,Kc,8] row gather
-    slot_validf = bins.valid.astype(jnp.float32)
 
     origins = tile_origins(width, height, tile_size)
     basis = pixel_basis(tile_size)
     if absgrad_sink is None:
         absgrad_sink = jnp.zeros((n, 2), dtype=jnp.float32)
-
     counts = jnp.minimum(bins.counts, bins.ranks.shape[1])
-    tile_imgs = tile_render(gathered, slot_validf, origins,
-                            basis, bins.ranks, bins.order, absgrad_sink,
-                            counts, backend)
+
+    k_eff = bins.ranks.shape[1]
+    num_tiles = bins.ranks.shape[0]
+    if 0 < dense_capacity < k_eff:
+        # two-level: dense K1 everywhere + overflow budget of busy tiles
+        t2 = overflow_tiles or max(num_tiles // 4, 8)
+        t2 = min(t2, num_tiles)
+        tile_imgs = tile_render_two_level(
+            packed_sorted, bins.ranks, counts, origins, basis,
+            bins.order, absgrad_sink, dense_capacity, t2, backend)
+    else:
+        gathered = packed_sorted[bins.ranks]              # [T,Kc,8] row gather
+        slot_validf = bins.valid.astype(jnp.float32)
+        tile_imgs = tile_render(gathered, slot_validf, origins,
+                                basis, bins.ranks, bins.order, absgrad_sink,
+                                counts, backend)
     image = assemble_image(tile_imgs, width, height, tile_size)
     return RenderResult(
         image=image,

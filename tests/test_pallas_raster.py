@@ -170,3 +170,34 @@ def test_rasterize_v2_gradients(test_scene):
         np.testing.assert_allclose(
             np.array(gp), np.array(gj), atol=5e-5, rtol=5e-3,
             err_msg=f"v2 gradient mismatch for {name}")
+
+
+def test_two_level_pallas_matches_jax(test_scene):
+    from edgegaussians_tpu.ops.rasterize import rasterize as rz
+    means, quats, scales, opac, viewmat, K = map(jnp.array, test_scene)
+    W, H = 64, 48
+    kwargs = dict(tile_size=16, capacity=64, dense_capacity=16,
+                  overflow_tiles=12)
+
+    img_j = rz(means, quats, scales, opac, viewmat, K, W, H,
+               backend="jax", **kwargs).image
+    img_p = rz(means, quats, scales, opac, viewmat, K, W, H,
+               backend="pallas", **kwargs).image
+    np.testing.assert_allclose(np.array(img_p), np.array(img_j),
+                               atol=2e-5, rtol=1e-4)
+
+    def loss(backend):
+        def f(m, q, s, o):
+            img = rz(m, q, s, o, viewmat, K, W, H, backend=backend,
+                     **kwargs).image
+            return jnp.mean(jnp.abs(img - 0.25))
+        return f
+
+    g_p = jax.grad(loss("pallas"), argnums=(0, 1, 2, 3))(
+        means, quats, scales, opac)
+    g_j = jax.grad(loss("jax"), argnums=(0, 1, 2, 3))(
+        means, quats, scales, opac)
+    for gp, gj, name in zip(g_p, g_j, ["means", "quats", "scales", "opac"]):
+        np.testing.assert_allclose(
+            np.array(gp), np.array(gj), atol=1e-4, rtol=1e-2,
+            err_msg=f"two-level pallas gradient mismatch for {name}")

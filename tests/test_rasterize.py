@@ -136,3 +136,72 @@ def test_empty_scene():
                     z((4,)), jnp.eye(4), jnp.eye(3) * 50, 32, 32,
                     capacity=8)
     np.testing.assert_allclose(np.array(out.image), 0.0)
+
+
+def test_two_level_matches_single_level(test_scene):
+    """Two-level capacity path must reproduce the single-level images and
+    gradients (dense K1 + overflow budget covering every tile)."""
+    means, quats, scales, opac, viewmat, K = map(jnp.array, test_scene)
+    W, H = 64, 48
+    kwargs = dict(tile_size=16, capacity=64, backend="jax")
+    img_1l = rasterize(means, quats, scales, opac, viewmat, K, W, H,
+                       **kwargs).image
+    img_2l = rasterize(means, quats, scales, opac, viewmat, K, W, H,
+                       dense_capacity=16, overflow_tiles=12, **kwargs).image
+    np.testing.assert_allclose(np.array(img_2l), np.array(img_1l),
+                               atol=2e-5, rtol=1e-4)
+
+    def loss(two_level):
+        def f(m, q, s, o):
+            extra = (dict(dense_capacity=16, overflow_tiles=12)
+                     if two_level else {})
+            img = rasterize(m, q, s, o, viewmat, K, W, H, **kwargs,
+                            **extra).image
+            return jnp.mean(jnp.abs(img - 0.25))
+        return f
+
+    g1 = jax.grad(loss(False), argnums=(0, 1, 2, 3))(
+        means, quats, scales, opac)
+    g2 = jax.grad(loss(True), argnums=(0, 1, 2, 3))(
+        means, quats, scales, opac)
+    for a, b, name in zip(g2, g1, ["means", "quats", "scales", "opac"]):
+        np.testing.assert_allclose(
+            np.array(a), np.array(b), atol=5e-5, rtol=5e-3,
+            err_msg=f"two-level gradient mismatch for {name}")
+
+
+def test_two_level_truncates_beyond_budget(test_scene):
+    """With a tiny overflow budget the busiest tiles lose tail Gaussians —
+    images must still be finite and close below the single-level result."""
+    means, quats, scales, opac, viewmat, K = map(jnp.array, test_scene)
+    W, H = 64, 48
+    img_full = rasterize(means, quats, scales, opac, viewmat, K, W, H,
+                         tile_size=16, capacity=64, backend="jax").image
+    img_tr = rasterize(means, quats, scales, opac, viewmat, K, W, H,
+                       tile_size=16, capacity=64, dense_capacity=16,
+                       overflow_tiles=1, backend="jax").image
+    assert np.isfinite(np.array(img_tr)).all()
+    # truncation can only remove light
+    assert float(jnp.sum(img_tr)) <= float(jnp.sum(img_full)) + 1e-3
+
+
+def test_two_level_absgrad(test_scene):
+    means, quats, scales, opac, viewmat, K = map(jnp.array, test_scene)
+    W, H = 64, 48
+    n = means.shape[0]
+
+    def loss(m, sink, two_level):
+        extra = (dict(dense_capacity=16, overflow_tiles=12)
+                 if two_level else {})
+        img = rasterize(m, quats, scales, opac, viewmat, K, W, H,
+                        capacity=64, backend="jax", absgrad_sink=sink,
+                        **extra).image
+        return jnp.mean(jnp.abs(img - 0.5))
+
+    sink = jnp.zeros((n, 2))
+    _, gs1 = jax.grad(lambda m, s: loss(m, s, False),
+                      argnums=(0, 1))(means, sink)
+    _, gs2 = jax.grad(lambda m, s: loss(m, s, True),
+                      argnums=(0, 1))(means, sink)
+    np.testing.assert_allclose(np.array(gs2), np.array(gs1),
+                               atol=5e-5, rtol=5e-3)
