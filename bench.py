@@ -20,6 +20,7 @@ N_GAUSSIANS = 20000
 WIDTH = HEIGHT = 800
 TILE_SIZE = 16
 CAPACITY = 512
+DENSE_CAPACITY = 128
 ITERS = 20
 
 
@@ -51,7 +52,7 @@ def main():
     def loss_fn(m, q, s, o):
         out = rasterize(m, q, s, o, viewmat, K, WIDTH, HEIGHT,
                         tile_size=TILE_SIZE, capacity=CAPACITY,
-                        backend=backend)
+                        dense_capacity=DENSE_CAPACITY, backend=backend)
         return jnp.mean(jnp.abs(jnp.clip(out.image, 0, 1) - target))
 
     step = jax.jit(jax.value_and_grad(loss_fn, argnums=(0, 1, 2, 3)))

@@ -95,6 +95,10 @@ class ModelConfig:
     max_num_gaussians: int = 0
     # Per-tile Gaussian capacity of the rasterizer (depth-ordered truncation).
     tile_gaussian_capacity: int = 512
+    # Two-level capacity: dense per-tile budget (0 disables) + static count
+    # of overflow tiles finished at full capacity (0 = auto, tiles/4).
+    tile_dense_capacity: int = 128
+    tile_overflow_tiles: int = 0
     # Rasterizer tile size in pixels (reference BLOCK_WIDTH=16, edge_gs.py:233).
     tile_size: int = 16
     # 'pallas' on TPU, 'jax' pure-XLA fallback, 'reference' per-pixel oracle.

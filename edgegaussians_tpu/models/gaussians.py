@@ -94,6 +94,7 @@ def render_view(params: GaussianParams, alive: jnp.ndarray,
                 viewmat: jnp.ndarray, K: jnp.ndarray,
                 width: int, height: int, *,
                 tile_size: int = 16, capacity: int = 512,
+                dense_capacity: int = 0, overflow_tiles: int = 0,
                 backend: str = "jax", antialiased: bool = True,
                 absgrad_sink: Optional[jnp.ndarray] = None) -> RenderResult:
     """Render one camera from the model state (edge_gs.py:197-286).
@@ -104,8 +105,10 @@ def render_view(params: GaussianParams, alive: jnp.ndarray,
     return rasterize(
         params.means, params.quats, linear_scales(params),
         linear_opacities(params), viewmat, K, width, height,
-        tile_size=tile_size, capacity=capacity, backend=backend,
-        antialiased=antialiased, alive=alive, absgrad_sink=absgrad_sink)
+        tile_size=tile_size, capacity=capacity,
+        dense_capacity=dense_capacity, overflow_tiles=overflow_tiles,
+        backend=backend, antialiased=antialiased, alive=alive,
+        absgrad_sink=absgrad_sink)
 
 
 def export_as_ply(state: GaussianState, ply_path: str) -> int:

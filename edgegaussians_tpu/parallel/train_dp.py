@@ -44,6 +44,8 @@ def make_dp_train_step(cfg: FrameworkConfig, width: int, height: int,
     pl_cfg = cfg.training.loss.projection_losses
     render_kwargs = dict(
         tile_size=mcfg.tile_size, capacity=mcfg.tile_gaussian_capacity,
+        dense_capacity=mcfg.tile_dense_capacity,
+        overflow_tiles=mcfg.tile_overflow_tiles,
         backend=backend, antialiased=(mcfg.rasterize_mode == "antialiased"))
     strategy = losses_strategy_index(pl_cfg.loss_before_alternating)
 

@@ -75,6 +75,8 @@ def make_epoch_fn(cfg: FrameworkConfig, width: int, height: int,
     enforce = ol_cfg.dir_loss_enforce_method
     render_kwargs = dict(
         tile_size=mcfg.tile_size, capacity=mcfg.tile_gaussian_capacity,
+        dense_capacity=mcfg.tile_dense_capacity,
+        overflow_tiles=mcfg.tile_overflow_tiles,
         backend=backend, antialiased=(mcfg.rasterize_mode == "antialiased"))
 
     def projection_loss(pred, gt, edge_mask, strategy_idx, bg_ratio, key):
