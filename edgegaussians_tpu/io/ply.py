@@ -11,7 +11,7 @@ training output unchanged: an 11-field little-endian float32 vertex element
 from __future__ import annotations
 
 import io as _io
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 

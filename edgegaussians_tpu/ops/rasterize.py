@@ -18,7 +18,6 @@ the accumulated alpha, so 'rgb' and 'accumulation' outputs coincide.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Optional
 
 import jax

@@ -19,7 +19,7 @@ Gaussian parameters are replicated; gradients ride ICI via ``psum``.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -11,6 +11,13 @@ import os
 
 
 def enable_compilation_cache(path: str | None = None) -> None:
+    if os.environ.get("EDGEGAUSSIANS_NO_COMPILE_CACHE"):
+        return
+    # The axon remote-compile service stalls (observed: >25 min for a graph
+    # that compiles in ~5 min cacheless) when the persistent cache is on;
+    # skip it there.
+    if os.environ.get("PALLAS_AXON_REMOTE_COMPILE"):
+        return
     import jax
 
     path = path or os.path.expanduser("~/.cache/edgegaussians_jax_cache")
