@@ -1,0 +1,119 @@
+"""CLI integration tests on a fabricated miniature EMAP dataset.
+
+Builds a tiny ABC-style scene on disk (meta_data.json + edge PNGs), then
+drives the train -> fit_edges pipeline through the real CLI entry points —
+the closest CPU-runnable analog of the reference's end-to-end usage
+(README.md:44-81).
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from edgegaussians_tpu.cli import fit_edges as fit_cli
+from edgegaussians_tpu.cli import train as train_cli
+
+
+@pytest.fixture
+def mini_dataset(tmp_path):
+    """Two-view 48x48 EMAP scene with a bright edge band."""
+    scene = tmp_path / "data" / "SCENE01"
+    edge_dir = scene / "edge_DexiNed"
+    edge_dir.mkdir(parents=True)
+
+    w = h = 48
+    f = 40.0
+    frames = []
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        img = np.zeros((h, w), np.uint8)
+        img[22:26, 8:40] = 255          # horizontal edge band
+        name = f"{i}_colors.png"
+        Image.fromarray(img, mode="L").save(edge_dir / name)
+        ang = 0.15 * i
+        c2w = np.eye(4)
+        c2w[:3, 3] = [0.5 + 0.1 * np.sin(ang), 0.5, 0.5 - 2.0]
+        frames.append({
+            "rgb_path": name,
+            "camtoworld": c2w.tolist(),
+            "intrinsics": [[f, 0, w / 2], [0, f, h / 2], [0, 0, 1]],
+        })
+    meta = {"camera_model": "OPENCV", "height": h, "width": w,
+            "frames": frames}
+    (scene / "meta_data.json").write_text(json.dumps(meta))
+
+    cfg = {
+        "model": {
+            "init_random_init": True, "init_min_num_gaussians": 64,
+            "random_init_box_center": 0.5, "random_init_box_size": 1.0,
+            "init_scales_val": 0.02, "init_opacity_val": 0.2,
+            "if_duplicate_high_pos_grad": False,
+            "if_cull_low_opacity": False, "if_cull_wayward": False,
+            "if_cull_gaussians_not_projecting": False,
+            "max_num_gaussians": 128, "tile_gaussian_capacity": 64,
+            "tile_dense_capacity": 0, "tile_size": 16,
+        },
+        "training": {
+            "num_epochs": 2,
+            "optim": {
+                "means": {"type": "step", "start_lr": 5e-3,
+                          "milestones": [], "gamma": 1.0},
+                "scales": {"type": "start_at", "start_lr": 1e-3,
+                           "start_at_epoch": 0},
+                "quats": {"type": "start_at", "start_lr": 1e-3,
+                          "start_at_epoch": 0},
+                "opacities": {"type": "start_at", "start_lr": 0.03,
+                              "start_at_epoch": 0},
+            },
+            "loss": {
+                "orientation_losses": {"start_dir_loss_at_epoch": 99,
+                                       "start_ratio_loss_at_epoch": 99},
+                "projection_losses": {"start_alternating_at_epoch": 99},
+            },
+        },
+        "data": {"parser_type": "emap", "dataset_name": "ABC",
+                 "base_dir": str(tmp_path / "data") + "/",
+                 "edge_detection_method": "DexiNed",
+                 "image_res_scaling_factor": 1, "scale_scene_unit": False},
+        "output": {"output_dir": str(tmp_path / "out") + "/",
+                   "export_ply": True,
+                   "log_dir": str(tmp_path / "logs") + "/",
+                   "exp_name": "t"},
+        "filtering": {"filter_by_opacity": True, "filter_opacity_min": 0.01,
+                      "filter_stat_outliers": False,
+                      "filter_by_projection": False},
+        "parametric_fitting": {"angle_thresh": 0.6,
+                               "line_ransac_thresh": 0.02,
+                               "line_curve_residual_comp_factor": 0.4,
+                               "min_cluster_size": 3},
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    return str(cfg_path), tmp_path
+
+
+def test_train_cli_end_to_end(mini_dataset):
+    cfg_path, tmp = mini_dataset
+    rc = train_cli.main(["--config_file", cfg_path,
+                         "--scene_name", "SCENE01", "--backend", "jax"])
+    assert rc == 0
+    out_dir = tmp / "out" / "t_DexiNed" / "SCENE01"
+    assert (out_dir / "gaussians_all.ply").exists()
+    assert (out_dir / "time.txt").exists()
+    assert (out_dir / "epoch1.npz").exists()
+
+    # skip-if-trained guard (train_gaussians.py:325-329)
+    rc2 = train_cli.main(["--config_file", cfg_path,
+                          "--scene_name", "SCENE01", "--backend", "jax"])
+    assert rc2 == 0
+
+    # fit_edges consumes the trained PLY via the same config
+    rc3 = fit_cli.main(["--config_file", cfg_path,
+                        "--scene_name", "SCENE01", "--save_filtered"])
+    assert rc3 == 0
+    assert (out_dir / "parametric_edges.json").exists()
+    data = json.loads((out_dir / "parametric_edges.json").read_text())
+    assert "curves_ctl_pts" in data and "lines_end_pts" in data
