@@ -286,6 +286,8 @@ def train(scene, seed_points: np.ndarray, cfg: FrameworkConfig,
     logs the same quantities — train_gaussians.py:96,136-139,190).
     """
     if backend == "auto":
+        backend = cfg.model.rasterizer_backend
+    if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "jax"
 
     writer = None
@@ -305,7 +307,9 @@ def train(scene, seed_points: np.ndarray, cfg: FrameworkConfig,
     epoch_fn = make_epoch_fn(cfg, scene.width, scene.height, backend)
 
     key = jax.random.PRNGKey(cfg.training.seed + 1)
+    px_per_epoch = scene.num_views * scene.width * scene.height
     t0 = time.time()
+    t_prev = t0
     for epoch in range(cfg.training.num_epochs):
         ts, stats = epoch_fn(ts, jnp.int32(epoch), images, edge_masks,
                              viewmats, Ks)
@@ -313,10 +317,14 @@ def train(scene, seed_points: np.ndarray, cfg: FrameworkConfig,
         ts, _ = run_density_control(ts, epoch, cfg, viewmats, Ks,
                                     edge_masks, sub)
         if epoch % max(cfg.training.log_interval, 1) == 0:
+            now = time.time()
+            dt = max(now - t_prev, 1e-9)
+            t_prev = now
             log_fn(f"epoch {epoch}: loss={float(stats.avg_loss):.5f} "
                    f"alive={int(stats.num_alive)} "
                    f"max_tile={int(stats.max_tile_count)} "
-                   f"t={time.time() - t0:.1f}s")
+                   f"px/s={px_per_epoch / dt / 1e6:.1f}M "
+                   f"t={now - t0:.1f}s")
         if writer is not None:
             writer.add_scalar("Projection loss", float(stats.avg_loss),
                               epoch)
