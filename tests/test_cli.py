@@ -117,3 +117,43 @@ def test_train_cli_end_to_end(mini_dataset):
     assert (out_dir / "parametric_edges.json").exists()
     data = json.loads((out_dir / "parametric_edges.json").read_text())
     assert "curves_ctl_pts" in data and "lines_end_pts" in data
+
+
+def test_evaluate_cli(tmp_path):
+    """evaluate CLI end-to-end with cached GT samples and parametric edges."""
+    import numpy as np
+
+    from edgegaussians_tpu.cli import evaluate as eval_cli
+    from edgegaussians_tpu.io.ply import write_point_cloud
+
+    # cached GT sample cloud
+    gt_dir = tmp_path / "gt" / "sampled_pts"
+    gt_dir.mkdir(parents=True)
+    t = np.linspace(0, 1, 200)
+    gt_pts = np.stack([t, np.zeros_like(t), np.zeros_like(t)], axis=1)
+    write_point_cloud(str(gt_dir / "SCAN1_0.005.ply"), gt_pts)
+
+    # predicted parametric edges: the same line
+    out_dir = tmp_path / "out" / "SCAN1"
+    out_dir.mkdir(parents=True)
+    (out_dir / "parametric_edges.json").write_text(
+        '{"curves_ctl_pts": [], "lines_end_pts": [[0,0,0,1,0,0]]}')
+
+    metrics = {}
+    res = eval_cli.evaluate_scan(
+        "SCAN1", str(tmp_path / "gt"), str(tmp_path / "out"),
+        __import__("edgegaussians_tpu.eval.metrics",
+                   fromlist=["empty_metrics"]).empty_metrics(),
+        use_parametric_edges=True)
+    assert res is not None
+    # same line, different sample spacings -> chamfer ~ half a sample step
+    assert res["chamfer_dist"] < 5e-3
+    assert res["acc"] < 5e-3 and res["comp"] < 5e-3
+
+    rc = eval_cli.main([
+        "--scan_names", "SCAN1", "--gt_base_dir", str(tmp_path / "gt"),
+        "--output_base_dir", str(tmp_path / "out"),
+        "--use_parametric_edges", "--write_metrics",
+        "--write_metrics_dir", str(tmp_path / "metrics")])
+    assert rc == 0
+    assert (tmp_path / "metrics" / "release" / "DexiNed" / "pr.pkl").exists()
