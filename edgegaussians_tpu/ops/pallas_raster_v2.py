@@ -33,8 +33,12 @@ from jax.experimental.pallas import tpu as pltpu
 from edgegaussians_tpu.ops.projection import (
     ALPHA_CLAMP, ALPHA_THRESHOLD, TRANSMITTANCE_EPS)
 
-TILE_BLOCK = 8      # tiles per grid program
-CHUNK = 128         # K-slots composited per predicated step
+import os
+
+# tiles per grid program / K-slots per predicated step (env-tunable for
+# hardware sweeps; defaults chosen on v5e)
+TILE_BLOCK = int(os.environ.get("EG_TILE_BLOCK", "16"))
+CHUNK = int(os.environ.get("EG_CHUNK", "128"))
 
 
 def _logop_selector() -> jnp.ndarray:
