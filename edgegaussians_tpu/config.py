@@ -181,6 +181,9 @@ class TrainingConfig:
     seed: int = 0
     checkpoint_interval: int = 0     # epochs; 0 = only final (reference saves once)
     log_interval: int = 1
+    # TPU-native approximate top-k (recall 0.99) for the direction-loss kNN;
+    # set False for sklearn-exact neighbor sets (reference behavior).
+    approx_knn: bool = True
 
 
 @dataclass

@@ -141,14 +141,17 @@ def ratio_loss(scales: jnp.ndarray, alive: jnp.ndarray) -> jnp.ndarray:
 
 def update_nearest_neighbors(means: jnp.ndarray, alive: jnp.ndarray,
                              num_nn: int,
-                             enforce_method: str = "enforce_full"
-                             ) -> jnp.ndarray:
+                             enforce_method: str = "enforce_full",
+                             approx: bool = False) -> jnp.ndarray:
     """Neighbor indices for the direction loss (edge_gs.py:326-344).
 
     Fetches k+1 (or 2k+1 for enforce_half) nearest and drops the closest,
-    exactly as the reference slices ``indices[:, 1:]``.
+    exactly as the reference slices ``indices[:, 1:]``. ``approx`` switches
+    to the TPU-native approximate top-k (recall 0.99) — the alignment loss
+    is insensitive to occasional rank swaps among near-equidistant
+    neighbors.
     """
     k = num_nn
     fetch = (2 * k + 1) if enforce_method == "enforce_half" else (k + 1)
-    _, idx = knn(means, fetch, mask=alive)
+    _, idx = knn(means, fetch, mask=alive, approx=approx)
     return idx[:, 1:]

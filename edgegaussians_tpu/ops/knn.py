@@ -18,11 +18,12 @@ import jax
 import jax.numpy as jnp
 
 
-@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+@functools.partial(jax.jit, static_argnames=("k", "chunk", "approx"))
 def knn(points: jnp.ndarray,            # [N,3]
         k: int,
         mask: jnp.ndarray | None = None,  # [N] bool; False rows excluded
-        chunk: int = 1024):
+        chunk: int = 1024,
+        approx: bool = False):
     """k nearest neighbors of every point among the masked points.
 
     Returns (distances [N,k], indices [N,k]), self excluded — matching the
@@ -30,6 +31,11 @@ def knn(points: jnp.ndarray,            # [N,3]
     query rows return garbage neighbors (their mask should gate downstream
     use). NaN coordinates are treated as 0, mirroring the reference's NaN
     guard (edge_gs.py:330-333).
+
+    ``approx=True`` uses the TPU-native ``jax.lax.approx_max_k``
+    (recall target 0.99) — appropriate for the direction-loss neighbors
+    where exactness is immaterial; exact top-k (the default) matches sklearn
+    and is used everywhere correctness-sensitive.
     """
     n = points.shape[0]
     pts = jnp.nan_to_num(points.astype(jnp.float32))
@@ -52,7 +58,11 @@ def knn(points: jnp.ndarray,            # [N,3]
         d2 = jnp.where(mask[None, :], d2, big)
         self_mask = qids[:, None] == jnp.arange(n, dtype=jnp.int32)[None, :]
         d2 = jnp.where(self_mask, big, d2)
-        neg_d2, idx = jax.lax.top_k(-d2, k)
+        if approx:
+            neg_d2, idx = jax.lax.approx_max_k(-d2, k,
+                                               recall_target=0.99)
+        else:
+            neg_d2, idx = jax.lax.top_k(-d2, k)
         return jnp.sqrt(jnp.maximum(-neg_d2, 0.0)), idx
 
     dists, idx = jax.lax.map(

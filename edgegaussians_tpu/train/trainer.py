@@ -138,7 +138,8 @@ def make_epoch_fn(cfg: FrameworkConfig, width: int, height: int,
         def dir_branch(args):
             params, opt = args
             nn_idx = losses.update_nearest_neighbors(
-                params.means, gs.alive, num_nn, enforce)
+                params.means, gs.alive, num_nn, enforce,
+                approx=tcfg.approx_knn)
 
             def dloss(p):
                 return losses.direction_loss(
