@@ -220,23 +220,20 @@ def _composite_jax_seg(feats, basis, t_in, chunk: int = 64):
     return img.reshape(-1, p)[:T], tout.reshape(-1, p)[:T]
 
 
-def _two_level_fwd_impl(packed_sorted, ranks, counts, origins, basis,
-                        k1: int, t2: int, backend: str):
+def _two_level_fwd_impl(packed_sorted, bins2, origins, basis, backend: str):
     """Forward pass; returns (images, residuals-for-bwd)."""
-    T, K = ranks.shape
+    T, k1 = bins2.ranks1.shape
+    t2, k2 = bins2.ranks2.shape
+    ovf_ids = bins2.ovf_ids
+    counts1, counts2 = bins2.counts1, bins2.counts2
+
+    g1 = packed_sorted[bins2.ranks1]                          # [T,k1,8]
     kk1 = jnp.arange(k1, dtype=jnp.int32)[None, :]
-
-    ranks1 = ranks[:, :k1]
-    g1 = packed_sorted[ranks1]                                # [T,k1,8]
-    validf1 = (kk1 < counts[:, None]).astype(jnp.float32)
+    validf1 = (kk1 < counts1[:, None]).astype(jnp.float32)
     feats1 = build_tile_features(g1, origins, validf1)
-    counts1 = jnp.minimum(counts, k1)
 
-    ovf_counts, ovf_ids = jax.lax.top_k(counts, t2)
-    ranks2 = ranks[ovf_ids, k1:]                              # [t2,K-k1]
-    g2 = packed_sorted[ranks2]
-    counts2 = jnp.maximum(ovf_counts - k1, 0)
-    kk2 = jnp.arange(K - k1, dtype=jnp.int32)[None, :]
+    g2 = packed_sorted[bins2.ranks2]                          # [t2,k2,8]
+    kk2 = jnp.arange(k2, dtype=jnp.int32)[None, :]
     validf2 = (kk2 < counts2[:, None]).astype(jnp.float32)
     feats2 = build_tile_features(g2, origins[ovf_ids], validf2)
 
@@ -252,39 +249,37 @@ def _two_level_fwd_impl(packed_sorted, ranks, counts, origins, basis,
         img2, _ = _composite_jax_seg(feats2, basis, tin2)
 
     images = img1.at[ovf_ids].add(img2)
-    res = (g1, g2, validf1, validf2, counts1, counts2, ovf_ids,
-           img1, tin2, images)
+    res = (g1, g2, validf1, validf2, img1, tin2, images)
     return images, res
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
-def tile_render_two_level(packed_sorted, ranks, counts, origins, basis,
-                          order, sink, k1: int = 128, t2: int = 256,
-                          backend: str = "jax"):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def tile_render_two_level(packed_sorted, bins2, origins, basis,
+                          order, sink, backend: str = "jax"):
     """Two-level tile rendering: [N,8] packed rows -> [T,P] intensities.
 
-    Args mirror :func:`tile_render` but the gathers happen inside (only
-    T*k1 + t2*(K-k1) rows instead of T*K). ``k1``: dense capacity per tile;
-    ``t2``: static budget of overflow tiles (top-k by occupancy; tiles
-    beyond the budget are truncated at k1 — monitor RenderResult counts).
+    Args mirror :func:`tile_render` but take pre-decoded two-level bins
+    (``TileBinsTwoLevel``): every tile composites its first k1 slots, and
+    the ``t2`` busiest tiles composite k2 more (tiles beyond the budget are
+    truncated at k1 — monitor RenderResult counts). Gathers touch only
+    T*k1 + t2*k2 rows.
     """
-    images, _ = _two_level_fwd_impl(packed_sorted, ranks, counts, origins,
-                                    basis, k1, t2, backend)
+    images, _ = _two_level_fwd_impl(packed_sorted, bins2, origins, basis,
+                                    backend)
     return images
 
 
-def _tl_fwd(packed_sorted, ranks, counts, origins, basis, order, sink,
-            k1, t2, backend):
-    images, res = _two_level_fwd_impl(packed_sorted, ranks, counts,
-                                      origins, basis, k1, t2, backend)
-    return images, (packed_sorted.shape[0], ranks, counts, origins, basis,
+def _tl_fwd(packed_sorted, bins2, origins, basis, order, sink, backend):
+    images, res = _two_level_fwd_impl(packed_sorted, bins2, origins, basis,
+                                      backend)
+    return images, (packed_sorted.shape[0], bins2, origins, basis,
                     order, res)
 
 
-def _tl_bwd(k1, t2, backend, saved, g):
-    n, ranks, counts, origins, basis, order, res = saved
-    (g1, g2, validf1, validf2, counts1, counts2, ovf_ids,
-     img1, tin2, images) = res
+def _tl_bwd(backend, saved, g):
+    n, bins2, origins, basis, order, res = saved
+    (g1, g2, validf1, validf2, img1, tin2, images) = res
+    ovf_ids, counts1, counts2 = bins2.ovf_ids, bins2.counts1, bins2.counts2
 
     if backend == "pallas":
         from edgegaussians_tpu.ops import pallas_raster_v2 as v2
@@ -305,7 +300,8 @@ def _tl_bwd(k1, t2, backend, saved, g):
         def inner(a1, a2):
             feats1 = build_tile_features(a1, origins, validf1)
             feats2 = build_tile_features(a2, origins[ovf_ids], validf2)
-            ones = jnp.ones((ranks.shape[0], basis.shape[1]), jnp.float32)
+            T = bins2.ranks1.shape[0]
+            ones = jnp.ones((T, basis.shape[1]), jnp.float32)
             i1, tout1 = _composite_jax_seg(feats1, basis, ones)
             i2, _ = _composite_jax_seg(feats2, basis, tout1[ovf_ids])
             return i1.at[ovf_ids].add(i2)
@@ -313,27 +309,26 @@ def _tl_bwd(k1, t2, backend, saved, g):
         _, vjp_fn = jax.vjp(inner, g1, g2)
         dg1, dg2 = vjp_fn(g)
 
-    ranks1 = ranks[:, :k1]
-    ranks2 = ranks[ovf_ids, k1:]
-    dpacked = jnp.zeros((n, 8), dtype=dg1.dtype)
-    dpacked = dpacked.at[ranks1.reshape(-1)].add(
-        dg1.reshape(-1, 8), mode="drop")
-    dpacked = dpacked.at[ranks2.reshape(-1)].add(
-        dg2.reshape(-1, 8), mode="drop")
-
-    # absgrad (sorted frame -> original ids)
+    # ONE fused scatter for dpacked (8 cols) + absgrad (2 cols): scatters
+    # are per-row-overhead bound on TPU, so riding the |d means2d| columns
+    # on the dpacked rows is ~free, and L1/L2 concat halves the row count
+    # vs. separate scatters per level and per quantity.
     c1 = jnp.abs(dg1[..., 3:5]) * validf1[..., None]
     c2 = jnp.abs(dg2[..., 3:5]) * validf2[..., None]
-    sorted_sink = jnp.zeros((n, 2), dtype=dg1.dtype)
-    sorted_sink = sorted_sink.at[ranks1.reshape(-1)].add(
-        c1.reshape(-1, 2), mode="drop")
-    sorted_sink = sorted_sink.at[ranks2.reshape(-1)].add(
-        c2.reshape(-1, 2), mode="drop")
-    dsink = jnp.zeros((n, 2), dtype=dg1.dtype).at[order].add(
-        sorted_sink, mode="drop")
+    rows = jnp.concatenate([
+        jnp.concatenate([dg1, c1], axis=-1).reshape(-1, 10),
+        jnp.concatenate([dg2, c2], axis=-1).reshape(-1, 10)], axis=0)
+    idx = jnp.concatenate([bins2.ranks1.reshape(-1),
+                           bins2.ranks2.reshape(-1)])
+    acc = jnp.zeros((n, 10), dtype=dg1.dtype).at[idx].add(rows, mode="drop")
+    dpacked = acc[:, :8]
+    # absgrad: sorted frame -> original ids (order is a permutation)
+    dsink = jnp.zeros((n, 2), dtype=dg1.dtype).at[order].set(
+        acc[:, 8:10], mode="drop", unique_indices=True)
 
     f0 = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)
-    return (dpacked, f0(ranks), f0(counts), jnp.zeros_like(origins),
+    zero_bins = jax.tree.map(f0, bins2)
+    return (dpacked, zero_bins, jnp.zeros_like(origins),
             jnp.zeros_like(basis), f0(order), dsink)
 
 

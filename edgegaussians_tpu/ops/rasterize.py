@@ -66,36 +66,42 @@ def rasterize(
         near_plane=near_plane, far_plane=far_plane,
         antialiased=antialiased, alive=alive)
 
-    bins = bin_gaussians(jax.lax.stop_gradient(proj), width, height,
-                         tile_size, capacity,
-                         max_tiles_per_gaussian=max_tiles_per_gaussian)
-
-    packed = tiles_mod.pack_gaussian_render_data(proj)    # [N,8]
-    packed_sorted = packed[bins.order]                    # [N,8] cheap permute
-
     origins = tile_origins(width, height, tile_size)
     basis = pixel_basis(tile_size)
     if absgrad_sink is None:
         absgrad_sink = jnp.zeros((n, 2), dtype=jnp.float32)
-    counts = jnp.minimum(bins.counts, bins.ranks.shape[1])
 
-    k_eff = bins.ranks.shape[1]
-    num_tiles = bins.ranks.shape[0]
-    if 0 < dense_capacity < k_eff:
+    packed = tiles_mod.pack_gaussian_render_data(proj)    # [N,8]
+    num_tiles = tiles_mod.tile_grid(width, height, tile_size)[2]
+    capacity = min(capacity, n) if n > 0 else capacity
+
+    if 0 < dense_capacity < capacity:
         # two-level: dense K1 everywhere + overflow budget of busy tiles
         t2 = overflow_tiles or max(num_tiles // 4, 8)
         t2 = min(t2, num_tiles)
+        bins2 = tiles_mod.bin_gaussians_two_level(
+            jax.lax.stop_gradient(proj), width, height, tile_size,
+            dense_capacity, capacity - dense_capacity, t2,
+            max_tiles_per_gaussian=max_tiles_per_gaussian)
+        packed_sorted = packed[bins2.order]               # [N,8] cheap permute
         tile_imgs = tile_render_two_level(
-            packed_sorted, bins.ranks, counts, origins, basis,
-            bins.order, absgrad_sink, dense_capacity, t2, backend)
+            packed_sorted, bins2, origins, basis,
+            bins2.order, absgrad_sink, backend)
+        tile_counts = bins2.counts
     else:
+        bins = bin_gaussians(jax.lax.stop_gradient(proj), width, height,
+                             tile_size, capacity,
+                             max_tiles_per_gaussian=max_tiles_per_gaussian)
+        packed_sorted = packed[bins.order]
+        counts = jnp.minimum(bins.counts, bins.ranks.shape[1])
         gathered = packed_sorted[bins.ranks]              # [T,Kc,8] row gather
         slot_validf = bins.valid.astype(jnp.float32)
         tile_imgs = tile_render(gathered, slot_validf, origins,
                                 basis, bins.ranks, bins.order, absgrad_sink,
                                 counts, backend)
+        tile_counts = bins.counts
     image = assemble_image(tile_imgs, width, height, tile_size)
     return RenderResult(
         image=image,
-        tile_counts=bins.counts,
+        tile_counts=tile_counts,
         num_visible=jnp.sum(proj.valid.astype(jnp.int32)))

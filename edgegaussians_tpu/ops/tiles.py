@@ -52,6 +52,23 @@ class TileBins(NamedTuple):
     order: jnp.ndarray     # [N] int32: order[rank] = gaussian id
 
 
+class TileBinsTwoLevel(NamedTuple):
+    """Two-level per-tile lists: dense k1 slots everywhere + an overflow
+    budget of ``t2`` busiest tiles carrying k2 more slots each.
+
+    Decoding only T*k1 + t2*k2 entries (instead of T*(k1+k2)) keeps the
+    rank-decode gather — the single most expensive binning op on TPU —
+    proportional to the work the compositor actually does.
+    """
+    ranks1: jnp.ndarray    # [T,k1] int32 depth ranks (clipped)
+    counts: jnp.ndarray    # [T] int32 true per-tile occupancy
+    counts1: jnp.ndarray   # [T] int32 = min(counts, k1)
+    ovf_ids: jnp.ndarray   # [t2] int32 busiest-tile indices (top-k counts)
+    counts2: jnp.ndarray   # [t2] int32 = clip(counts[ovf] - k1, 0, k2)
+    ranks2: jnp.ndarray    # [t2,k2] int32 depth ranks of overflow slots
+    order: jnp.ndarray     # [N] int32: order[rank] = gaussian id
+
+
 def tile_grid(width: int, height: int, tile_size: int):
     """(tiles_x, tiles_y, num_tiles)."""
     ntx, nty = cdiv(width, tile_size), cdiv(height, tile_size)
@@ -92,7 +109,59 @@ def bin_gaussians(proj: ProjectedGaussians, width: int, height: int,
     Gaussians (true sizes reported via ``counts``).
     """
     n = proj.depths.shape[0]
-    m = max_tiles_per_gaussian
+    capacity = min(capacity, n) if n > 0 else capacity
+    sorted_keys, starts, counts, order = _sort_pairs(
+        proj, width, height, tile_size, max_tiles_per_gaussian)
+
+    kk = jnp.arange(capacity, dtype=jnp.int32)[None, :]
+    gidx = starts[:-1, None] + kk                                 # [T,K]
+    ranks = _decode_ranks(sorted_keys, gidx, n)
+    slot_valid = kk < counts[:, None]
+    return TileBins(ranks=ranks, valid=slot_valid, counts=counts,
+                    order=order)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "width", "height", "tile_size", "k1", "k2", "t2",
+    "max_tiles_per_gaussian"))
+def bin_gaussians_two_level(proj: ProjectedGaussians, width: int,
+                            height: int, tile_size: int, k1: int, k2: int,
+                            t2: int,
+                            max_tiles_per_gaussian: int = MAX_TILES_PER_GAUSSIAN
+                            ) -> TileBinsTwoLevel:
+    """Two-level binning: dense k1 ranks for every tile plus k2 overflow
+    ranks for the ``t2`` busiest tiles (see :class:`TileBinsTwoLevel`).
+
+    Same fused-key sort as :func:`bin_gaussians`; only the decode differs —
+    overflow ranks are gathered straight from the sorted keys at
+    ``starts[ovf] + k1``, so no [T, k1+k2] intermediate is ever built.
+    """
+    n = proj.depths.shape[0]
+    sorted_keys, starts, counts, order = _sort_pairs(
+        proj, width, height, tile_size, max_tiles_per_gaussian)
+
+    kk1 = jnp.arange(k1, dtype=jnp.int32)[None, :]
+    ranks1 = _decode_ranks(sorted_keys, starts[:-1, None] + kk1, n)
+
+    ovf_counts, ovf_ids = jax.lax.top_k(counts, t2)
+    starts2 = starts[:-1][ovf_ids] + k1                           # [t2]
+    kk2 = jnp.arange(k2, dtype=jnp.int32)[None, :]
+    ranks2 = _decode_ranks(sorted_keys, starts2[:, None] + kk2, n)
+    counts2 = jnp.clip(ovf_counts - k1, 0, k2)
+
+    return TileBinsTwoLevel(
+        ranks1=ranks1, counts=counts, counts1=jnp.minimum(counts, k1),
+        ovf_ids=ovf_ids.astype(jnp.int32), counts2=counts2, ranks2=ranks2,
+        order=order)
+
+
+def _sort_pairs(proj: ProjectedGaussians, width: int, height: int,
+                tile_size: int, m: int):
+    """Expand Gaussians into (tile, depth-rank) pairs and sort by fused key.
+
+    Returns (sorted_keys [N*M, 8-padded], starts [T+1], counts [T],
+    order [N])."""
+    n = proj.depths.shape[0]
     ntx, nty, num_tiles = tile_grid(width, height, tile_size)
     if num_tiles << RANK_BITS >= 2 ** 31:
         raise ValueError(
@@ -101,7 +170,6 @@ def bin_gaussians(proj: ProjectedGaussians, width: int, height: int,
     if n > (1 << RANK_BITS):
         raise ValueError(f"{n} Gaussians exceed the {1 << RANK_BITS} "
                          "rank capacity of the fused sort key")
-    capacity = min(capacity, n) if n > 0 else capacity
 
     # global depth-ascending order, invalid entries last
     order = jnp.argsort(jnp.where(proj.valid, proj.depths, jnp.inf))
@@ -133,7 +201,7 @@ def bin_gaussians(proj: ProjectedGaussians, width: int, height: int,
 
     sorted_keys = jax.lax.sort(keys.reshape(-1))                  # [N*M]
     pad8 = (-sorted_keys.shape[0]) % 8
-    if pad8:   # the row-gather below reads 8-wide rows
+    if pad8:   # the row-gather decode reads 8-wide rows
         sorted_keys = jnp.pad(sorted_keys, (0, pad8),
                               constant_values=2 ** 31 - 1)
 
@@ -142,21 +210,23 @@ def bin_gaussians(proj: ProjectedGaussians, width: int, height: int,
                   << RANK_BITS)
     starts = jnp.searchsorted(sorted_keys, boundaries)            # [T+1]
     counts = (starts[1:] - starts[:-1]).astype(jnp.int32)
+    return sorted_keys, starts, counts, order.astype(jnp.int32)
 
-    kk = jnp.arange(capacity, dtype=jnp.int32)[None, :]
-    gidx = jnp.clip(starts[:-1, None] + kk, 0, n * m - 1)         # [T,K]
-    # 1-D gathers are ~10x slower than row gathers on TPU: fetch 8-wide rows
-    # and select the lane with a one-hot dot instead of a scalar gather.
+
+def _decode_ranks(sorted_keys: jnp.ndarray, gidx: jnp.ndarray,
+                  n: int) -> jnp.ndarray:
+    """Decode depth ranks at flat sorted-pair positions ``gidx``.
+
+    1-D gathers are ~10x slower than row gathers on TPU: fetch 8-wide rows
+    and select the lane with a one-hot dot instead of a scalar gather.
+    """
+    gidx = jnp.clip(gidx, 0, sorted_keys.shape[0] - 1)
     skeys_2d = sorted_keys.reshape(-1, 8)
-    rows = skeys_2d[gidx >> 3]                                    # [T,K,8]
+    rows = skeys_2d[gidx >> 3]                                    # [...,8]
     onehot = (jnp.arange(8, dtype=jnp.int32)[None, None, :]
               == (gidx & 7)[..., None])
     entry = jnp.sum(jnp.where(onehot, rows, 0), axis=-1)
-    slot_valid = kk < counts[:, None]
-    ranks = jnp.clip(entry & RANK_MASK, 0, max(n - 1, 0))
-    return TileBins(ranks=ranks.astype(jnp.int32),
-                    valid=slot_valid, counts=counts,
-                    order=order.astype(jnp.int32))
+    return jnp.clip(entry & RANK_MASK, 0, max(n - 1, 0)).astype(jnp.int32)
 
 
 def tile_origins(width: int, height: int, tile_size: int) -> jnp.ndarray:
