@@ -27,50 +27,17 @@ import jax.numpy as jnp
 import numpy as np
 
 from edgegaussians_tpu.ops.projection import (
-    ALPHA_CLAMP, ALPHA_THRESHOLD, TRANSMITTANCE_EPS)
+    ALPHA_CLAMP, ALPHA_THRESHOLD, SIGMA_GUARD_EPS, TRANSMITTANCE_EPS)
 from edgegaussians_tpu.ops.tiles import build_tile_features
 
-_LOG_TRANS_EPS = float(np.log(TRANSMITTANCE_EPS))
-
-
-def _composite_tile(feats: jnp.ndarray,    # [K,8]
-                    basis: jnp.ndarray,    # [8,P]
-                    ) -> jnp.ndarray:      # [P]
-    """One tile: matmul alpha evaluation + log-space compositing.
-
-    Invalid slots arrive with a -1e30 constant feature (alpha underflows to
-    0); slot 6 carries log opacity for the sigma >= 0 numerical guard.
-    """
-    logalpha = jnp.dot(feats, basis, preferred_element_type=jnp.float32)
-    logop = feats[:, 6:7]
-    alpha = jnp.exp(logalpha)
-    # skip rules: sigma >= 0  <=>  logalpha <= log opacity; alpha >= 1/255
-    ok = (logalpha <= logop) & (alpha >= ALPHA_THRESHOLD)
-    alpha = jnp.where(ok, jnp.minimum(alpha, ALPHA_CLAMP), 0.0)
-
-    log1m = jnp.log1p(-alpha)
-    log_T_inc = jnp.cumsum(log1m, axis=0)
-    keep = log_T_inc >= _LOG_TRANS_EPS          # monotone early-stop mask
-    t_prev = jnp.exp(log_T_inc - log1m)
-    return jnp.sum(alpha * t_prev * keep, axis=0)
-
-
 def _composite_jax(feats, basis, chunk: int = 64):
-    """Chunked lax.map over tiles; rematerialized so AD stores only inputs."""
+    """Single-level oracle: the product-space segment compositor with a
+    fresh (all-ones) carried transmittance — one numerics for every
+    backend/level combination."""
     T = feats.shape[0]
-    pad = (-T) % chunk
-    if pad:
-        feats = jnp.pad(feats, ((0, pad), (0, 0), (0, 0)))
-    n_chunks = feats.shape[0] // chunk
-
-    tile_fn = jax.checkpoint(jax.vmap(_composite_tile, in_axes=(0, None)))
-
-    def chunk_fn(f):
-        return tile_fn(f, basis)
-
-    out = jax.lax.map(
-        chunk_fn, feats.reshape(n_chunks, chunk, *feats.shape[1:]))
-    return out.reshape(-1, basis.shape[1])[:T]
+    ones = jnp.ones((T, basis.shape[1]), jnp.float32)
+    img, _ = _composite_jax_seg(feats, basis, ones, chunk)
+    return img
 
 
 def _render_impl(gathered, slot_validf, origins, basis, counts,
@@ -182,10 +149,11 @@ tile_render.defvjp(_tile_render_fwd, _tile_render_bwd)
 
 def _composite_tile_seg(feats, t_in, basis):
     """One tile segment in product space: [K,8], [P] -> ([P], [P] t_out)."""
-    logalpha = jnp.dot(feats, basis, preferred_element_type=jnp.float32)
+    logalpha = jnp.dot(feats, basis, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
     logop = feats[:, 6:7]
     alpha = jnp.exp(logalpha)
-    ok = (logalpha <= logop) & (alpha >= ALPHA_THRESHOLD)
+    ok = (logalpha <= logop + SIGMA_GUARD_EPS) & (alpha >= ALPHA_THRESHOLD)
     alpha = jnp.where(ok, jnp.minimum(alpha, ALPHA_CLAMP), 0.0)
 
     om = 1.0 - alpha

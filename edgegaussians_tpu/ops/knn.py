@@ -53,7 +53,8 @@ def knn(points: jnp.ndarray,            # [N,3]
     def chunk_fn(args):
         q, qids = args                                   # [C,3], [C]
         d2 = (jnp.sum(q * q, axis=-1)[:, None] + sq[None, :]
-              - 2.0 * q @ pts.T)                         # [C,N]
+              - 2.0 * jnp.matmul(q, pts.T,
+                                 precision=jax.lax.Precision.HIGHEST))
         # exclude self and dead slots
         d2 = jnp.where(mask[None, :], d2, big)
         self_mask = qids[:, None] == jnp.arange(n, dtype=jnp.int32)[None, :]

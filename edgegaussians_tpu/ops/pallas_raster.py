@@ -32,7 +32,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from edgegaussians_tpu.ops.projection import (
-    ALPHA_CLAMP, ALPHA_THRESHOLD, TRANSMITTANCE_EPS)
+    ALPHA_CLAMP, ALPHA_THRESHOLD, SIGMA_GUARD_EPS, TRANSMITTANCE_EPS)
 
 _LOG_TRANS_EPS = float(np.log(TRANSMITTANCE_EPS))
 
@@ -67,14 +67,16 @@ def _alpha_terms(f8k, basis):
     k = f8k.shape[1]
     logalpha = jax.lax.dot_general(
         f8k, basis, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                       # [K,P]
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)                       # [K,P]
     logop = jax.lax.dot_general(
         f8k, _logop_selector(), (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                       # [K,1]
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)                       # [K,1]
     alpha = jnp.exp(logalpha)
     # skip rules: sigma >= 0  <=>  logalpha <= log opacity; alpha >= 1/255.
     # Invalid slots carry a -1e30 constant feature, so alpha == 0 there.
-    ok = (logalpha <= logop) & (alpha >= ALPHA_THRESHOLD)
+    ok = (logalpha <= logop + SIGMA_GUARD_EPS) & (alpha >= ALPHA_THRESHOLD)
     alpha = jnp.where(ok, jnp.minimum(alpha, ALPHA_CLAMP), 0.0)
 
     log1m = jnp.log1p(-alpha)
@@ -107,7 +109,8 @@ def _bwd_kernel(feats_ref, basis_ref, g_ref, dfeats_ref):
         dla = jnp.where(ok & (alpha < ALPHA_CLAMP), alpha * dalpha, 0.0)
         dfeats_ref[i] = jax.lax.dot_general(
             basis, dla, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)               # [8,K]
+            preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)               # [8,K]
 
 
 def _pad_tiles(x, tb):

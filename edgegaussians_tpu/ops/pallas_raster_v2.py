@@ -1,196 +1,169 @@
-"""Chunked-K Pallas compositing kernels (production path, v2).
+"""Tile-vectorized chunked Pallas compositing kernels (production path).
 
-The v1 kernels (pallas_raster.py) process all K capacity slots of every
-tile; their cost is VPU-bound (exp/select/scan over the full [K, P] alpha
-matrix). Real edge-map scenes are sparse — most tiles hold far fewer than K
-Gaussians — so v2 walks K in chunks of 128 with per-chunk predication:
+Third-generation kernel design (v1 = pallas_raster.py log-space scan over
+full capacity; v2 = per-tile chunk loop with per-tile predication). Profiling
+the per-tile-loop kernels on v5e showed the grid/loop/cond machinery — one
+``lax.cond`` plus a cross-lane ``max`` per (tile, chunk), ops on [1, P]
+rows — costing ~2x the actual VPU math, so v3 vectorizes across the tile
+block:
 
-- chunks beyond the tile's true occupancy (``counts``) are skipped,
-- compositing stops once the carried transmittance saturates below 1e-4 on
-  every pixel (the classic front-to-back early exit, per tile-chunk),
-- compositing runs in product space (cumulative-product Hillis-Steele scan)
-  saving the log/exp round trip of v1.
+- each grid step processes TILE_BLOCK tiles as whole [TB, C, P] arrays:
+  one MXU matmul evaluates log-alpha for every (slot, pixel) in the block,
+  and the front-to-back transmittance scan is a Hillis-Steele cumulative
+  product along the slot axis (7 rolls for C=128),
+- capacity is walked in chunks of CHUNK slots with BLOCK-level predication:
+  a chunk is skipped when no tile in the block has that many Gaussians
+  (``counts``) or every pixel's carried transmittance has saturated below
+  TRANSMITTANCE_EPS — per-block instead of per-tile, trading a little
+  wasted VPU work inside mixed blocks for far less control overhead,
+- the backward walks chunks in the same forward order carrying the entry
+  transmittance and contribution prefix, so it needs no replay pass and no
+  scratch: the suffix term uses the caller-provided per-tile total.
 
-The backward kernel replays the forward chunk walk, stashing the per-chunk
-entry transmittance and contribution prefix in a tiny [NCHUNK, P] scratch,
-then computes d feats chunk-by-chunk with the same predication.
+All alpha-evaluation matmuls run at Precision.HIGHEST: log-alpha terms
+reach O(100), and the MXU's default-precision (bfloat16) multiplies would
+inject O(0.1-1) noise into the exponent — catastrophic for parity with the
+f32 oracle and for the sigma >= 0 skip rule (see SIGMA_GUARD_EPS).
 
-Semantics are identical to v1 (and to the oracle): the per-contribution
-skip rules, the 0.999 alpha clamp, and the 1e-4 transmittance cutoff behave
-the same; only the arithmetic parenthesization differs.
+Semantics are identical to the jax-backend oracle (composite.py): same skip
+rules, 0.999 alpha clamp, and 1e-4 transmittance cutoff; only arithmetic
+parenthesization differs.
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from edgegaussians_tpu.ops.projection import (
-    ALPHA_CLAMP, ALPHA_THRESHOLD, TRANSMITTANCE_EPS)
+    ALPHA_CLAMP, ALPHA_THRESHOLD, SIGMA_GUARD_EPS, TRANSMITTANCE_EPS)
 
-import os
-
-# tiles per grid program / K-slots per predicated step (env-tunable for
+# tiles per grid program / K-slots per predicated chunk (env-tunable for
 # hardware sweeps; defaults chosen on v5e)
 TILE_BLOCK = int(os.environ.get("EG_TILE_BLOCK", "16"))
 CHUNK = int(os.environ.get("EG_CHUNK", "128"))
 
 
-def _logop_selector() -> jnp.ndarray:
-    row = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
-    return (row == 6).astype(jnp.float32)
-
-
-def _cumprod_axis0(x: jnp.ndarray, k: int) -> jnp.ndarray:
-    """Inclusive cumulative product along axis 0 (Hillis-Steele rolls)."""
-    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+def _cumprod_slots(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Inclusive cumulative product along axis 1 (Hillis-Steele rolls)."""
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
     shift = 1
     while shift < k:
-        rolled = pltpu.roll(x, shift, axis=0)
+        rolled = pltpu.roll(x, shift, axis=1)
         x = x * jnp.where(row >= shift, rolled, 1.0)
         shift *= 2
     return x
 
 
-def _chunk_alpha(f8k_chunk, basis):
-    """[8,CHUNK] features -> masked alpha [CHUNK,P] + ok mask."""
+def _cumsum_slots(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    shift = 1
+    while shift < k:
+        rolled = pltpu.roll(x, shift, axis=1)
+        x = x + jnp.where(row >= shift, rolled, 0.0)
+        shift *= 2
+    return x
+
+
+def _chunk_alpha(fc, basis):
+    """[TB,8,C] feature slice -> masked alpha [TB,C,P] + ok mask."""
     logalpha = jax.lax.dot_general(
-        f8k_chunk, basis, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                    # [CHUNK,P]
-    logop = jax.lax.dot_general(
-        f8k_chunk, _logop_selector(), (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                    # [CHUNK,1]
+        fc, basis, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)       # [TB,C,P]
+    logop = fc[:, 6, :][..., None]                 # [TB,C,1]
     alpha = jnp.exp(logalpha)
-    ok = (logalpha <= logop) & (alpha >= ALPHA_THRESHOLD)
+    ok = (logalpha <= logop + SIGMA_GUARD_EPS) & (alpha >= ALPHA_THRESHOLD)
     alpha = jnp.where(ok, jnp.minimum(alpha, ALPHA_CLAMP), 0.0)
     return alpha, ok
 
 
+def _block_max_count(counts_ref, tb: int):
+    maxc = counts_ref[0, 0]
+    for i in range(1, tb):
+        maxc = jnp.maximum(maxc, counts_ref[i, 0])
+    return maxc
+
+
 def _fwd_kernel(counts_ref, feats_ref, basis_ref, tin_ref, out_ref,
                 tout_ref, *, chunk):
-    CHUNK = chunk
-    basis = basis_ref[:]
+    basis = basis_ref[:]                           # [8,P]
+    f = feats_ref[:]                               # [TB,8,K]
+    tb, _, k = f.shape
     p = basis.shape[1]
-    k = feats_ref.shape[2]
-    n_chunks = k // CHUNK
+    n_chunks = k // chunk
+    maxc = _block_max_count(counts_ref, tb)
 
-    for i in range(feats_ref.shape[0]):
-        count = counts_ref[i, 0]
-        needed = (count + CHUNK - 1) // CHUNK
+    img = jnp.zeros((tb, p), jnp.float32)
+    t_carry = tin_ref[:]                           # [TB,P]
+    for c in range(n_chunks):
 
-        def chunk_step(c, carry):
-            img, t_carry = carry
+        def work(args, c=c):
+            img, t_carry = args
+            fc = f[:, :, c * chunk:(c + 1) * chunk]
+            alpha, _ = _chunk_alpha(fc, basis)
+            om = 1.0 - alpha
+            t_inc = t_carry[:, None, :] * _cumprod_slots(om, chunk)
+            keep = (t_inc >= TRANSMITTANCE_EPS).astype(jnp.float32)
+            img = img + jnp.sum(alpha * (t_inc / om) * keep, axis=1)
+            return img, t_inc[:, chunk - 1, :]
 
-            def work(args):
-                img, t_carry = args
-                f8k = feats_ref[i, :, pl.ds(c * CHUNK, CHUNK)]
-                alpha, _ = _chunk_alpha(f8k, basis)
-                om = 1.0 - alpha
-                t_inc = t_carry * _cumprod_axis0(om, CHUNK)    # [CHUNK,P]
-                keep = (t_inc >= TRANSMITTANCE_EPS).astype(jnp.float32)
-                t_prev = t_inc / om
-                img = img + jnp.sum(alpha * t_prev * keep, axis=0,
-                                    keepdims=True)
-                return img, t_inc[CHUNK - 1 : CHUNK, :]
-
-            do = (c < needed) & (jnp.max(t_carry) >= TRANSMITTANCE_EPS)
-            return jax.lax.cond(do, work, lambda a: a, (img, t_carry))
-
-        img0 = jnp.zeros((1, p), jnp.float32)
-        t0 = tin_ref[i][None, :]
-        img, t_fin = jax.lax.fori_loop(0, n_chunks, chunk_step, (img0, t0))
-        out_ref[i] = img[0]
-        tout_ref[i] = t_fin[0]
+        do = (c * chunk < maxc) & \
+            (jnp.max(t_carry) >= TRANSMITTANCE_EPS)
+        img, t_carry = jax.lax.cond(do, work, lambda a: a, (img, t_carry))
+    out_ref[:] = img
+    tout_ref[:] = t_carry
 
 
 def _bwd_kernel(counts_ref, feats_ref, basis_ref, g_ref, tin_ref,
-                prior_ref, total_ref, dfeats_ref, tcarry_scr, csum_scr,
-                *, chunk):
-    CHUNK = chunk
+                prior_ref, total_ref, dfeats_ref, *, chunk):
     basis = basis_ref[:]
-    p = basis.shape[1]
-    k = feats_ref.shape[2]
-    n_chunks = k // CHUNK
+    f = feats_ref[:]
+    tb, _, k = f.shape
+    n_chunks = k // chunk
+    maxc = _block_max_count(counts_ref, tb)
+    g = g_ref[:]                                   # [TB,P]
+    total = total_ref[:]                           # [TB,P] global contribution
 
-    for i in range(feats_ref.shape[0]):
-        count = counts_ref[i, 0]
-        needed = (count + CHUNK - 1) // CHUNK
+    csum = prior_ref[:]                            # earlier-segment prefix
+    t_carry = tin_ref[:]
+    for c in range(n_chunks):
 
-        # pass A: replay forward, stash per-chunk entry state. The running
-        # contribution sum starts at `prior` (contributions of earlier
-        # capacity segments) so the suffix term below is global.
-        def replay(c, carry):
-            csum, t_carry = carry
-            tcarry_scr[c] = t_carry[0]
-            csum_scr[c] = csum[0]
+        def work(args, c=c):
+            csum, t_carry = args
+            fc = f[:, :, c * chunk:(c + 1) * chunk]
+            alpha, ok = _chunk_alpha(fc, basis)
+            om = 1.0 - alpha
+            t_inc = t_carry[:, None, :] * _cumprod_slots(om, chunk)
+            keep = (t_inc >= TRANSMITTANCE_EPS).astype(jnp.float32)
+            t_prev = t_inc / om
+            contrib = alpha * t_prev * keep
+            c_inc = csum[:, None, :] + _cumsum_slots(contrib, chunk)
+            suffix = total[:, None, :] - c_inc     # contributions of j > k
+            dalpha = (t_prev - suffix / om) * keep * g[:, None, :]
+            dla = jnp.where(ok & (alpha < ALPHA_CLAMP),
+                            alpha * dalpha, 0.0)
+            dfc = jax.lax.dot_general(
+                dla, basis, (((2,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)   # [TB,C,8]
+            return (c_inc[:, chunk - 1, :], t_inc[:, chunk - 1, :],
+                    jnp.swapaxes(dfc, 1, 2))
 
-            def work(args):
-                csum, t_carry = args
-                f8k = feats_ref[i, :, pl.ds(c * CHUNK, CHUNK)]
-                alpha, _ = _chunk_alpha(f8k, basis)
-                om = 1.0 - alpha
-                t_inc = t_carry * _cumprod_axis0(om, CHUNK)
-                keep = (t_inc >= TRANSMITTANCE_EPS).astype(jnp.float32)
-                contrib = alpha * (t_inc / om) * keep
-                csum = csum + jnp.sum(contrib, axis=0, keepdims=True)
-                return csum, t_inc[CHUNK - 1 : CHUNK, :]
+        def skip(args):
+            csum, t_carry = args
+            return csum, t_carry, jnp.zeros((tb, 8, chunk), jnp.float32)
 
-            do = (c < needed) & (jnp.max(t_carry) >= TRANSMITTANCE_EPS)
-            return jax.lax.cond(do, work, lambda a: a, (csum, t_carry))
-
-        csum0 = prior_ref[i][None, :]
-        t0 = tin_ref[i][None, :]
-        jax.lax.fori_loop(0, n_chunks, replay, (csum0, t0))
-        # suffix gradients use the GLOBAL total (all segments), not the
-        # replayed local sum
-        total = total_ref[i][None, :]
-
-        # pass B: per-chunk gradients using the stashed entry state
-        g = g_ref[i][None, :]                                  # [1,P]
-
-        dfeats_ref[i] = jnp.zeros((8, k), jnp.float32)
-
-        def grad_chunk(c, carry):
-            def work(carry):
-                t_carry = tcarry_scr[c][None, :]
-                csum_in = csum_scr[c][None, :]
-                f8k = feats_ref[i, :, pl.ds(c * CHUNK, CHUNK)]
-                alpha, ok = _chunk_alpha(f8k, basis)
-                om = 1.0 - alpha
-                t_inc = t_carry * _cumprod_axis0(om, CHUNK)
-                keep = (t_inc >= TRANSMITTANCE_EPS).astype(jnp.float32)
-                t_prev = t_inc / om
-                contrib = alpha * t_prev * keep
-                c_inc = csum_in + _cumsum_axis0(contrib, CHUNK)
-                suffix = total - c_inc                         # sum j>k
-                dalpha = (t_prev - suffix / om) * keep * g
-                dla = jnp.where(ok & (alpha < ALPHA_CLAMP),
-                                alpha * dalpha, 0.0)
-                dfeats_ref[i, :, pl.ds(c * CHUNK, CHUNK)] = \
-                    jax.lax.dot_general(
-                        basis, dla, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32)    # [8,CHUNK]
-                return carry
-
-            do = (c < needed) & (jnp.max(tcarry_scr[c]) >= TRANSMITTANCE_EPS)
-            return jax.lax.cond(do, work, lambda a: a, carry)
-
-        jax.lax.fori_loop(0, n_chunks, grad_chunk, 0)
-
-
-def _cumsum_axis0(x: jnp.ndarray, k: int) -> jnp.ndarray:
-    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
-    shift = 1
-    while shift < k:
-        rolled = pltpu.roll(x, shift, axis=0)
-        x = x + jnp.where(row >= shift, rolled, 0.0)
-        shift *= 2
-    return x
+        do = (c * chunk < maxc) & \
+            (jnp.max(t_carry) >= TRANSMITTANCE_EPS)
+        csum, t_carry, dfc_t = jax.lax.cond(do, work, skip,
+                                            (csum, t_carry))
+        dfeats_ref[:, :, c * chunk:(c + 1) * chunk] = dfc_t
 
 
 def _pad_tiles(x, tb, value=0):
@@ -302,7 +275,6 @@ def _composite_bwd(feats, counts, basis, g, t_in, prior, total,
     tb = TILE_BLOCK
     chunk = min(CHUNK, k)
     assert k % chunk == 0
-    n_chunks = k // chunk
     feats_t = _pad_tiles(jnp.swapaxes(feats, 1, 2), tb)
     counts_p = _pad_tiles(counts.astype(jnp.int32)[:, None], tb)
     g_p = _pad_tiles(g, tb)
@@ -327,14 +299,10 @@ def _composite_bwd(feats, counts, basis, g, t_in, prior, total,
         out_specs=pl.BlockSpec((tb, 8, k), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((tp, 8, k), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((n_chunks, p), jnp.float32),
-            pltpu.VMEM((n_chunks, p), jnp.float32),
-        ],
         cost_estimate=pl.CostEstimate(
             flops=4 * tp * k * 9 * p + 28 * tp * k * p,
             bytes_accessed=2 * tp * k * 8 * 4 + tp * p * 4,
-            transcendentals=2 * tp * k * p),
+            transcendentals=tp * k * p),
         interpret=interpret,
     )(counts_p, feats_t, basis, g_p, tin_p, prior_p, total_p)
     return jnp.swapaxes(dfeats_t[:t], 1, 2)

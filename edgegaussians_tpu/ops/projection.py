@@ -37,6 +37,16 @@ ALPHA_THRESHOLD = 1.0 / 255.0
 ALPHA_CLAMP = 0.999
 # Transmittance floor below which compositing terminates.
 TRANSMITTANCE_EPS = 1e-4
+# Slack on the sigma >= 0 skip rule in the tile path. The tile compositors
+# reconstruct sigma as (log opacity - log alpha), the difference of two
+# nearly-equal dot products; at a Gaussian's center pixel the true value is
+# exactly 0 and f32 accumulation-order noise (~1e-5, and MXU vs VPU orders
+# differ) would otherwise flip the comparison — toggling that pixel's alpha
+# between 0 and full opacity between backends. The slack is far above the
+# matmul noise and far below any visible alpha change (< 0.1%); the
+# per-pixel oracle (rasterize_ref.py) computes sigma from the quadratic
+# form directly and needs no slack, matching gsplat's formulation.
+SIGMA_GUARD_EPS = 1e-3
 
 
 class ProjectedGaussians(NamedTuple):
@@ -72,7 +82,8 @@ def project_gaussians(
     cx, cy = K[0, 2], K[1, 2]
 
     # camera-space means
-    p_cam = means @ R_cw.T + t_cw                  # [N,3]
+    p_cam = jnp.matmul(means, R_cw.T,
+                       precision=jax.lax.Precision.HIGHEST) + t_cw  # [N,3]
     x, y, z = p_cam[:, 0], p_cam[:, 1], p_cam[:, 2]
     in_depth = (z > near_plane) & (z < far_plane)
     zs = jnp.where(in_depth, z, 1.0)               # safe divisor
@@ -84,7 +95,8 @@ def project_gaussians(
 
     # world covariance -> camera covariance
     sigma_w = covariance_from_quat_scale(quats, scales.astype(f32))  # [N,3,3]
-    sigma_c = jnp.einsum("ij,njk,lk->nil", R_cw, sigma_w, R_cw)
+    sigma_c = jnp.einsum("ij,njk,lk->nil", R_cw, sigma_w, R_cw,
+                         precision=jax.lax.Precision.HIGHEST)
 
     # perspective Jacobian with tan clamp (frustum-limited EWA)
     tan_fovx = 0.5 * width / fx

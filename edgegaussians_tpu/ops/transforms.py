@@ -63,4 +63,5 @@ def covariance_from_quat_scale(quats: jnp.ndarray,
     """
     R = quats_to_rotmats(quats)                  # [N,3,3]
     M = R * scales[:, None, :]                   # R @ diag(s)
-    return M @ jnp.swapaxes(M, -1, -2)
+    return jnp.matmul(M, jnp.swapaxes(M, -1, -2),
+                      precision=jax.lax.Precision.HIGHEST)
