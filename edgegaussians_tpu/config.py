@@ -93,6 +93,14 @@ class ModelConfig:
     # Fixed Gaussian capacity for jit-safe densification. 0 = auto
     # (next power of two >= 4x the seed count).
     max_num_gaussians: int = 0
+    # Staged capacity growth: start at a small power-of-two capacity
+    # (>= start_factor x seeds) and double whenever occupancy crosses
+    # grow_threshold, up to the resolved maximum. Early epochs then stop
+    # paying the full-capacity projection/sort cost; each growth stage
+    # costs one re-jit of the epoch function.
+    staged_capacity: bool = False
+    staged_capacity_start_factor: float = 2.0
+    staged_capacity_grow_threshold: float = 0.85
     # Per-tile Gaussian capacity of the rasterizer (depth-ordered truncation).
     tile_gaussian_capacity: int = 512
     # Two-level capacity: dense per-tile budget (0 disables) + static count

@@ -63,5 +63,10 @@ def covariance_from_quat_scale(quats: jnp.ndarray,
     """
     R = quats_to_rotmats(quats)                  # [N,3,3]
     M = R * scales[:, None, :]                   # R @ diag(s)
-    return jnp.matmul(M, jnp.swapaxes(M, -1, -2),
-                      precision=jax.lax.Precision.HIGHEST)
+    # expanded M @ M^T (Sigma_ij = sum_k M[n,i,k] M[n,j,k]): pure VPU —
+    # a batched [3,3] matmul would hit the MXU where default precision is
+    # bfloat16 and HIGHEST costs 3 passes; elementwise f32 is exact here
+    mi = [M[:, 0, :], M[:, 1, :], M[:, 2, :]]
+    sig = [[jnp.sum(mi[i] * mi[j], axis=-1) for j in range(3)]
+           for i in range(3)]
+    return jnp.stack([jnp.stack(row, axis=-1) for row in sig], axis=-2)

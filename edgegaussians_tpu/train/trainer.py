@@ -263,6 +263,51 @@ def run_density_control(ts: TrainState, epoch: int, cfg: FrameworkConfig,
     return ts._replace(gaussians=gs, opt=opt), fired
 
 
+def grow_capacity(ts: TrainState, new_cap: int) -> TrainState:
+    """Pad every capacity-sized array to ``new_cap`` dead slots.
+
+    Supports staged capacity growth: parameters, Adam moments, the alive
+    mask, and absgrad accumulators keep their contents; new slots are dead
+    (alive=False, zero moments) and get unit-w quats so projection of the
+    padding stays finite. Shapes change, so jitted epoch/density functions
+    re-trace once per stage.
+    """
+    gs = ts.gaussians
+    old = gs.capacity
+    if new_cap <= old:
+        return ts
+    pad = new_cap - old
+
+    def padrows(x, value=0.0):
+        widths = ((0, pad),) + ((0, 0),) * (x.ndim - 1)
+        return jnp.pad(x, widths, constant_values=value)
+
+    quats = jnp.concatenate(
+        [gs.params.quats,
+         jnp.tile(jnp.array([[1.0, 0, 0, 0]], jnp.float32), (pad, 1))])
+    params = GaussianParams(
+        means=padrows(gs.params.means),
+        scales=padrows(gs.params.scales),
+        quats=quats,
+        opacities=padrows(gs.params.opacities))
+    moments = jax.tree.map(padrows, ts.opt.moments)
+    gs = gs._replace(
+        params=params,
+        alive=padrows(gs.alive, value=False),
+        absgrads=padrows(gs.absgrads))
+    return ts._replace(gaussians=gs,
+                       opt=ts.opt._replace(moments=moments))
+
+
+def _staged_start_capacity(n_seed: int, cfg: FrameworkConfig,
+                           max_cap: int) -> int:
+    target = max(int(cfg.model.staged_capacity_start_factor * n_seed), 1024)
+    cap = 1024
+    while cap < target:
+        cap *= 2
+    return min(cap, max_cap)
+
+
 def init_train_state(seed_points: np.ndarray, cfg: FrameworkConfig,
                      capacity: Optional[int] = None) -> TrainState:
     gs = init_state(seed_points, cfg.model, seed=cfg.training.seed,
@@ -304,8 +349,17 @@ def train(scene, seed_points: np.ndarray, cfg: FrameworkConfig,
     viewmats = jnp.asarray(scene.viewmats)
     Ks = jnp.asarray(scene.Ks)
 
-    ts = initial_state or init_train_state(seed_points, cfg)
+    from edgegaussians_tpu.config import resolve_capacity
+    max_cap = resolve_capacity(cfg.model, len(seed_points))
+    if initial_state is not None:
+        ts = initial_state
+    elif cfg.model.staged_capacity:
+        start_cap = _staged_start_capacity(len(seed_points), cfg, max_cap)
+        ts = init_train_state(seed_points, cfg, capacity=start_cap)
+    else:
+        ts = init_train_state(seed_points, cfg)
     epoch_fn = make_epoch_fn(cfg, scene.width, scene.height, backend)
+    grow_at = cfg.model.staged_capacity_grow_threshold
 
     key = jax.random.PRNGKey(cfg.training.seed + 1)
     px_per_epoch = scene.num_views * scene.width * scene.height
@@ -315,6 +369,21 @@ def train(scene, seed_points: np.ndarray, cfg: FrameworkConfig,
         ts, stats = epoch_fn(ts, jnp.int32(epoch), images, edge_masks,
                              viewmats, Ks)
         key, sub = jax.random.split(key)
+        if cfg.model.staged_capacity and ts.gaussians.capacity < max_cap:
+            # a scheduled duplication can add up to `alive` clones — make
+            # room first so the event is not clipped by the current stage
+            cap = ts.gaussians.capacity
+            alive = int(ts.gaussians.num_alive())
+            dup_scheduled = (cfg.model.if_duplicate_high_pos_grad and
+                             epoch in cfg.model.dup_high_pos_grads_at_epoch)
+            want = 2 * alive if dup_scheduled else alive
+            if want > grow_at * cap:
+                new_cap = cap
+                while want > grow_at * new_cap and new_cap < max_cap:
+                    new_cap = min(new_cap * 2, max_cap)
+                ts = grow_capacity(ts, new_cap)
+                log_fn(f"epoch {epoch}: capacity {cap} -> {new_cap} "
+                       f"(alive {alive})")
         ts, _ = run_density_control(ts, epoch, cfg, viewmats, Ks,
                                     edge_masks, sub)
         if epoch % max(cfg.training.log_interval, 1) == 0:

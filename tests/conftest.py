@@ -10,7 +10,10 @@ import os
 # Force-override: the environment may pin JAX_PLATFORMS to a TPU plugin
 # (e.g. axon) and sitecustomize may have imported jax already — set both the
 # env var and the live config so unit tests run on the host CPU mesh.
-os.environ["JAX_PLATFORMS"] = "cpu"
+# EG_TPU_TESTS opts into the compiled-hardware parity tests
+# (tests/test_tpu_hardware.py) and keeps the real TPU platform.
+if not os.environ.get("EG_TPU_TESTS"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -18,7 +21,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if not os.environ.get("EG_TPU_TESTS"):
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -76,3 +76,37 @@ def test_colmap_text_roundtrip(tmp_path):
     pts_file.write_text("7 1.0 2.0 3.0 255 0 0 0.5 1 0\n")
     pts = colmap_io.read_points3D_text(str(pts_file))
     np.testing.assert_allclose(pts[7].xyz, [1.0, 2.0, 3.0])
+
+
+def test_colmap_database_roundtrip(tmp_path):
+    """COLMAP database.db schema: write cameras/images/keypoints/matches,
+    read them back (reference counterpart: utils/colmap_database.py)."""
+    from edgegaussians_tpu.io import colmap_db
+
+    path = str(tmp_path / "database.db")
+    kp1 = np.random.default_rng(0).uniform(0, 800, (12, 2)).astype(np.float32)
+    kp2 = np.random.default_rng(1).uniform(0, 800, (9, 2)).astype(np.float32)
+    matches = np.array([[0, 3], [5, 1], [11, 8]], np.uint32)
+
+    with colmap_db.ColmapDatabase(path) as db:
+        cam = db.add_camera(model=1, width=800, height=800,
+                            params=[1111.0, 1111.0, 400.0, 400.0])
+        im1 = db.add_image("a.png", cam)
+        im2 = db.add_image("b.png", cam)
+        db.add_keypoints(im1, kp1)
+        db.add_keypoints(im2, kp2)
+        db.add_matches(im1, im2, matches)
+        db.add_two_view_geometry(im1, im2, matches)
+
+    db = colmap_db.ColmapDatabase(path)
+    cams = db.cameras()
+    assert cams[cam][0] == 1 and cams[cam][1] == 800
+    np.testing.assert_allclose(cams[cam][3], [1111.0, 1111.0, 400.0, 400.0])
+    assert db.images() == {im1: ("a.png", cam), im2: ("b.png", cam)}
+    np.testing.assert_allclose(db.keypoints(im1), kp1)
+    np.testing.assert_array_equal(db.matches(im1, im2), matches)
+    # symmetric pair key: query in reverse order flips columns
+    np.testing.assert_array_equal(db.matches(im2, im1), matches[:, ::-1])
+    pid = colmap_db.image_ids_to_pair_id(im2, im1)
+    assert colmap_db.pair_id_to_image_ids(pid) == (im1, im2)
+    db.close()

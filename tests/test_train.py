@@ -147,3 +147,47 @@ def test_checkpoint_roundtrip(tmp_path, scene_and_cfg):
     np.testing.assert_allclose(np.array(ts.gaussians.params.means),
                                np.array(ts2.gaussians.params.means))
     assert int(ts2.step) == int(ts.step)
+
+
+def test_grow_capacity_preserves_state(scene_and_cfg):
+    scene, cfg = scene_and_cfg
+    seeds = np.random.default_rng(3).uniform(-0.5, 0.5, (64, 3)) \
+        .astype(np.float32)
+    ts = trainer.init_train_state(seeds, cfg, capacity=128)
+    ts = ts._replace(gaussians=ts.gaussians._replace(
+        absgrads=jnp.arange(128, dtype=jnp.float32)))
+    grown = trainer.grow_capacity(ts, 256)
+    assert grown.gaussians.capacity == 256
+    assert int(grown.gaussians.num_alive()) == int(ts.gaussians.num_alive())
+    np.testing.assert_allclose(
+        np.array(grown.gaussians.params.means[:128]),
+        np.array(ts.gaussians.params.means))
+    np.testing.assert_allclose(
+        np.array(grown.gaussians.absgrads[:128]), np.arange(128))
+    assert not bool(grown.gaussians.alive[128:].any())
+    # moments padded with zeros
+    mu, nu = grown.opt.moments.means
+    assert mu.shape[0] == 256 and float(jnp.abs(mu[128:]).max()) == 0.0
+    # no-op when target <= current
+    same = trainer.grow_capacity(ts, 64)
+    assert same.gaussians.capacity == 128
+
+
+def test_staged_capacity_training_matches_behavior(scene_and_cfg):
+    """Staged growth trains end-to-end and ends at a grown capacity."""
+    scene, cfg = scene_and_cfg
+    cfg = dataclasses.replace(cfg)
+    cfg.model = dataclasses.replace(
+        cfg.model, staged_capacity=True,
+        staged_capacity_start_factor=1.2,
+        staged_capacity_grow_threshold=0.8,
+        init_min_num_gaussians=900, max_num_gaussians=4096)
+    rng = np.random.default_rng(4)
+    seeds = rng.uniform(-0.5, 0.5, (900, 3)).astype(np.float32)
+    msgs = []
+    ts = trainer.train(scene, seeds, cfg, backend="jax", log_fn=msgs.append)
+    # started at 1024 (next pow2 >= 1.2*900); the epoch-2 duplication wants
+    # 2x alive > 0.8*1024 so a growth stage must have fired
+    assert ts.gaussians.capacity > 1024
+    assert any("capacity" in m and "->" in m for m in msgs), msgs
+    assert int(ts.gaussians.num_alive()) >= 900
