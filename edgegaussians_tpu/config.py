@@ -107,6 +107,11 @@ class ModelConfig:
     # of overflow tiles finished at full capacity (0 = auto, tiles/4).
     tile_dense_capacity: int = 128
     tile_overflow_tiles: int = 0
+    # Max tiles one Gaussian's 3-sigma box may cover before truncation;
+    # drives the [N*M] binning sort size. Trained edge scenes rarely
+    # exceed 4 (needles) — RenderResult.num_truncated / the trainer's
+    # 'trunc=' log shows violations.
+    max_tiles_per_gaussian: int = 64
     # Rasterizer tile size in pixels (reference BLOCK_WIDTH=16, edge_gs.py:233).
     tile_size: int = 16
     # 'pallas' on TPU, 'jax' pure-XLA fallback, 'reference' per-pixel oracle.

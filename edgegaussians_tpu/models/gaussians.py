@@ -95,6 +95,7 @@ def render_view(params: GaussianParams, alive: jnp.ndarray,
                 width: int, height: int, *,
                 tile_size: int = 16, capacity: int = 512,
                 dense_capacity: int = 0, overflow_tiles: int = 0,
+                max_tiles_per_gaussian: int = 64,
                 backend: str = "jax", antialiased: bool = True,
                 absgrad_sink: Optional[jnp.ndarray] = None) -> RenderResult:
     """Render one camera from the model state (edge_gs.py:197-286).
@@ -107,6 +108,7 @@ def render_view(params: GaussianParams, alive: jnp.ndarray,
         linear_opacities(params), viewmat, K, width, height,
         tile_size=tile_size, capacity=capacity,
         dense_capacity=dense_capacity, overflow_tiles=overflow_tiles,
+        max_tiles_per_gaussian=max_tiles_per_gaussian,
         backend=backend, antialiased=antialiased, alive=alive,
         absgrad_sink=absgrad_sink)
 

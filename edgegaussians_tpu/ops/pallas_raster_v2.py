@@ -93,29 +93,47 @@ def _block_max_count(counts_ref, tb: int):
 def _fwd_kernel(counts_ref, feats_ref, basis_ref, tin_ref, out_ref,
                 tout_ref, *, chunk):
     basis = basis_ref[:]                           # [8,P]
-    f = feats_ref[:]                               # [TB,8,K]
-    tb, _, k = f.shape
+    tb, _, k = feats_ref.shape
     p = basis.shape[1]
     n_chunks = k // chunk
     maxc = _block_max_count(counts_ref, tb)
 
+    def work(c, args):
+        img, t_carry = args
+        fc = feats_ref[:, :, pl.ds(c * chunk, chunk)]
+        alpha, _ = _chunk_alpha(fc, basis)
+        om = 1.0 - alpha
+        t_inc = t_carry[:, None, :] * _cumprod_slots(om, chunk)
+        keep = (t_inc >= TRANSMITTANCE_EPS).astype(jnp.float32)
+        img = img + jnp.sum(alpha * (t_inc / om) * keep, axis=1)
+        return img, t_inc[:, chunk - 1, :]
+
     img = jnp.zeros((tb, p), jnp.float32)
     t_carry = tin_ref[:]                           # [TB,P]
-    for c in range(n_chunks):
+    if n_chunks == 1:
+        do = (maxc > 0) & (jnp.max(t_carry) >= TRANSMITTANCE_EPS)
+        img, t_carry = jax.lax.cond(do, work, lambda _, a: a, 0,
+                                    (img, t_carry))
+    else:
+        # chunk walk as a while_loop whose condition IS the block-level
+        # predication (occupancy bound + transmittance saturation): the
+        # body appears once in the generated code — static unrolling
+        # replicated the large chunk body per chunk and per cond branch,
+        # megabytes per kernel, dominating remote-compile/upload time.
+        needed = (maxc + chunk - 1) // chunk
 
-        def work(args, c=c):
-            img, t_carry = args
-            fc = f[:, :, c * chunk:(c + 1) * chunk]
-            alpha, _ = _chunk_alpha(fc, basis)
-            om = 1.0 - alpha
-            t_inc = t_carry[:, None, :] * _cumprod_slots(om, chunk)
-            keep = (t_inc >= TRANSMITTANCE_EPS).astype(jnp.float32)
-            img = img + jnp.sum(alpha * (t_inc / om) * keep, axis=1)
-            return img, t_inc[:, chunk - 1, :]
+        def cond_fn(state):
+            c, _, t_carry = state
+            return (c < needed) & \
+                (jnp.max(t_carry) >= TRANSMITTANCE_EPS)
 
-        do = (c * chunk < maxc) & \
-            (jnp.max(t_carry) >= TRANSMITTANCE_EPS)
-        img, t_carry = jax.lax.cond(do, work, lambda a: a, (img, t_carry))
+        def body(state):
+            c, img, t_carry = state
+            img, t_carry = work(c, (img, t_carry))
+            return c + 1, img, t_carry
+
+        _, img, t_carry = jax.lax.while_loop(
+            cond_fn, body, (jnp.int32(0), img, t_carry))
     out_ref[:] = img
     tout_ref[:] = t_carry
 
@@ -123,47 +141,69 @@ def _fwd_kernel(counts_ref, feats_ref, basis_ref, tin_ref, out_ref,
 def _bwd_kernel(counts_ref, feats_ref, basis_ref, g_ref, tin_ref,
                 prior_ref, total_ref, dfeats_ref, *, chunk):
     basis = basis_ref[:]
-    f = feats_ref[:]
-    tb, _, k = f.shape
+    tb, _, k = feats_ref.shape
     n_chunks = k // chunk
     maxc = _block_max_count(counts_ref, tb)
     g = g_ref[:]                                   # [TB,P]
     total = total_ref[:]                           # [TB,P] global contribution
 
+    def work(c, args):
+        csum, t_carry = args
+        fc = feats_ref[:, :, pl.ds(c * chunk, chunk)]
+        alpha, ok = _chunk_alpha(fc, basis)
+        om = 1.0 - alpha
+        t_inc = t_carry[:, None, :] * _cumprod_slots(om, chunk)
+        keep = (t_inc >= TRANSMITTANCE_EPS).astype(jnp.float32)
+        t_prev = t_inc / om
+        contrib = alpha * t_prev * keep
+        c_inc = csum[:, None, :] + _cumsum_slots(contrib, chunk)
+        suffix = total[:, None, :] - c_inc         # contributions of j > k
+        dalpha = (t_prev - suffix / om) * keep * g[:, None, :]
+        dla = jnp.where(ok & (alpha < ALPHA_CLAMP),
+                        alpha * dalpha, 0.0)
+        dfc = jax.lax.dot_general(
+            dla, basis, (((2,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)   # [TB,C,8]
+        return c_inc[:, chunk - 1, :], t_inc[:, chunk - 1, :], \
+            jnp.swapaxes(dfc, 1, 2)
+
     csum = prior_ref[:]                            # earlier-segment prefix
     t_carry = tin_ref[:]
-    for c in range(n_chunks):
+    if n_chunks == 1:
+        do = (maxc > 0) & (jnp.max(t_carry) >= TRANSMITTANCE_EPS)
 
-        def work(args, c=c):
-            csum, t_carry = args
-            fc = f[:, :, c * chunk:(c + 1) * chunk]
-            alpha, ok = _chunk_alpha(fc, basis)
-            om = 1.0 - alpha
-            t_inc = t_carry[:, None, :] * _cumprod_slots(om, chunk)
-            keep = (t_inc >= TRANSMITTANCE_EPS).astype(jnp.float32)
-            t_prev = t_inc / om
-            contrib = alpha * t_prev * keep
-            c_inc = csum[:, None, :] + _cumsum_slots(contrib, chunk)
-            suffix = total[:, None, :] - c_inc     # contributions of j > k
-            dalpha = (t_prev - suffix / om) * keep * g[:, None, :]
-            dla = jnp.where(ok & (alpha < ALPHA_CLAMP),
-                            alpha * dalpha, 0.0)
-            dfc = jax.lax.dot_general(
-                dla, basis, (((2,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)   # [TB,C,8]
-            return (c_inc[:, chunk - 1, :], t_inc[:, chunk - 1, :],
-                    jnp.swapaxes(dfc, 1, 2))
+        def run(c, args):
+            csum, t_carry, df = work(c, args[:2])
+            return csum, t_carry, df
 
-        def skip(args):
-            csum, t_carry = args
-            return csum, t_carry, jnp.zeros((tb, 8, chunk), jnp.float32)
+        def skip(c, args):
+            return (*args[:2],
+                    jnp.zeros((tb, 8, chunk), jnp.float32))
 
-        do = (c * chunk < maxc) & \
-            (jnp.max(t_carry) >= TRANSMITTANCE_EPS)
-        csum, t_carry, dfc_t = jax.lax.cond(do, work, skip,
-                                            (csum, t_carry))
-        dfeats_ref[:, :, c * chunk:(c + 1) * chunk] = dfc_t
+        _, _, dfc_t = jax.lax.cond(
+            do, run, skip, 0,
+            (csum, t_carry, jnp.zeros((tb, 8, chunk), jnp.float32)))
+        dfeats_ref[:] = dfc_t
+    else:
+        # while_loop with predication as the loop condition: see
+        # _fwd_kernel. Chunks the loop never reaches must still be zeroed.
+        dfeats_ref[:] = jnp.zeros((tb, 8, k), jnp.float32)
+        needed = (maxc + chunk - 1) // chunk
+
+        def cond_fn(state):
+            c, _, t_carry = state
+            return (c < needed) & \
+                (jnp.max(t_carry) >= TRANSMITTANCE_EPS)
+
+        def body(state):
+            c, csum, t_carry = state
+            csum, t_carry, dfc_t = work(c, (csum, t_carry))
+            dfeats_ref[:, :, pl.ds(c * chunk, chunk)] = dfc_t
+            return c + 1, csum, t_carry
+
+        jax.lax.while_loop(cond_fn, body,
+                           (jnp.int32(0), csum, t_carry))
 
 
 def _pad_tiles(x, tb, value=0):

@@ -34,6 +34,8 @@ class RenderResult(NamedTuple):
     image: jnp.ndarray          # [H,W] edge intensity in [0,1+] (pre-clamp)
     tile_counts: jnp.ndarray    # [T] per-tile Gaussian counts (diagnostics)
     num_visible: jnp.ndarray    # scalar: Gaussians surviving projection
+    num_truncated: jnp.ndarray  # scalar: Gaussians whose tile footprint
+                                # exceeded max_tiles_per_gaussian
 
 
 def rasterize(
@@ -88,6 +90,7 @@ def rasterize(
             packed_sorted, bins2, origins, basis,
             bins2.order, absgrad_sink, backend)
         tile_counts = bins2.counts
+        num_truncated = bins2.num_truncated
     else:
         bins = bin_gaussians(jax.lax.stop_gradient(proj), width, height,
                              tile_size, capacity,
@@ -100,8 +103,10 @@ def rasterize(
                                 basis, bins.ranks, bins.order, absgrad_sink,
                                 counts, backend)
         tile_counts = bins.counts
+        num_truncated = bins.num_truncated
     image = assemble_image(tile_imgs, width, height, tile_size)
     return RenderResult(
         image=image,
         tile_counts=tile_counts,
-        num_visible=jnp.sum(proj.valid.astype(jnp.int32)))
+        num_visible=jnp.sum(proj.valid.astype(jnp.int32)),
+        num_truncated=num_truncated)

@@ -50,6 +50,9 @@ class TileBins(NamedTuple):
     valid: jnp.ndarray     # [T,K] bool
     counts: jnp.ndarray    # [T] int32 true number of intersecting Gaussians
     order: jnp.ndarray     # [N] int32: order[rank] = gaussian id
+    num_truncated: jnp.ndarray  # scalar int32: Gaussians whose tile box
+                                # exceeded max_tiles_per_gaussian (their
+                                # overflow tiles were dropped)
 
 
 class TileBinsTwoLevel(NamedTuple):
@@ -67,6 +70,7 @@ class TileBinsTwoLevel(NamedTuple):
     counts2: jnp.ndarray   # [t2] int32 = clip(counts[ovf] - k1, 0, k2)
     ranks2: jnp.ndarray    # [t2,k2] int32 depth ranks of overflow slots
     order: jnp.ndarray     # [N] int32: order[rank] = gaussian id
+    num_truncated: jnp.ndarray  # scalar int32 (see TileBins)
 
 
 def tile_grid(width: int, height: int, tile_size: int):
@@ -110,7 +114,7 @@ def bin_gaussians(proj: ProjectedGaussians, width: int, height: int,
     """
     n = proj.depths.shape[0]
     capacity = min(capacity, n) if n > 0 else capacity
-    sorted_keys, starts, counts, order = _sort_pairs(
+    sorted_keys, starts, counts, order, num_trunc = _sort_pairs(
         proj, width, height, tile_size, max_tiles_per_gaussian)
 
     kk = jnp.arange(capacity, dtype=jnp.int32)[None, :]
@@ -118,7 +122,7 @@ def bin_gaussians(proj: ProjectedGaussians, width: int, height: int,
     ranks = _decode_ranks(sorted_keys, gidx, n)
     slot_valid = kk < counts[:, None]
     return TileBins(ranks=ranks, valid=slot_valid, counts=counts,
-                    order=order)
+                    order=order, num_truncated=num_trunc)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -137,7 +141,7 @@ def bin_gaussians_two_level(proj: ProjectedGaussians, width: int,
     ``starts[ovf] + k1``, so no [T, k1+k2] intermediate is ever built.
     """
     n = proj.depths.shape[0]
-    sorted_keys, starts, counts, order = _sort_pairs(
+    sorted_keys, starts, counts, order, num_trunc = _sort_pairs(
         proj, width, height, tile_size, max_tiles_per_gaussian)
 
     kk1 = jnp.arange(k1, dtype=jnp.int32)[None, :]
@@ -152,7 +156,7 @@ def bin_gaussians_two_level(proj: ProjectedGaussians, width: int,
     return TileBinsTwoLevel(
         ranks1=ranks1, counts=counts, counts1=jnp.minimum(counts, k1),
         ovf_ids=ovf_ids.astype(jnp.int32), counts2=counts2, ranks2=ranks2,
-        order=order)
+        order=order, num_truncated=num_trunc)
 
 
 def _sort_pairs(proj: ProjectedGaussians, width: int, height: int,
@@ -160,7 +164,7 @@ def _sort_pairs(proj: ProjectedGaussians, width: int, height: int,
     """Expand Gaussians into (tile, depth-rank) pairs and sort by fused key.
 
     Returns (sorted_keys [N*M, 8-padded], starts [T+1], counts [T],
-    order [N])."""
+    order [N], num_truncated scalar)."""
     n = proj.depths.shape[0]
     ntx, nty, num_tiles = tile_grid(width, height, tile_size)
     if num_tiles << RANK_BITS >= 2 ** 31:
@@ -210,7 +214,9 @@ def _sort_pairs(proj: ProjectedGaussians, width: int, height: int,
                   << RANK_BITS)
     starts = jnp.searchsorted(sorted_keys, boundaries)            # [T+1]
     counts = (starts[1:] - starts[:-1]).astype(jnp.int32)
-    return sorted_keys, starts, counts, order.astype(jnp.int32)
+    num_trunc = jnp.sum((valid & (span_x * span_y > m)).astype(jnp.int32))
+    return (sorted_keys, starts, counts, order.astype(jnp.int32),
+            num_trunc)
 
 
 def _decode_ranks(sorted_keys: jnp.ndarray, gidx: jnp.ndarray,

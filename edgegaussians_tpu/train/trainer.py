@@ -50,6 +50,11 @@ class EpochStats(NamedTuple):
     avg_loss: jnp.ndarray
     num_alive: jnp.ndarray
     max_tile_count: jnp.ndarray
+    max_overflow_tiles: jnp.ndarray  # peak count of tiles past the dense
+                                     # budget; must stay < tile_overflow_tiles
+                                     # or renders truncate silently
+    max_truncated: jnp.ndarray       # peak Gaussians truncated by
+                                     # max_tiles_per_gaussian
 
 
 def _strategy_index(name: str) -> int:
@@ -77,6 +82,7 @@ def make_epoch_fn(cfg: FrameworkConfig, width: int, height: int,
         tile_size=mcfg.tile_size, capacity=mcfg.tile_gaussian_capacity,
         dense_capacity=mcfg.tile_dense_capacity,
         overflow_tiles=mcfg.tile_overflow_tiles,
+        max_tiles_per_gaussian=mcfg.max_tiles_per_gaussian,
         backend=backend, antialiased=(mcfg.rasterize_mode == "antialiased"))
 
     def projection_loss(pred, gt, edge_mask, strategy_idx, bg_ratio, key):
@@ -92,7 +98,7 @@ def make_epoch_fn(cfg: FrameworkConfig, width: int, height: int,
     def view_step(carry, view_idx, *, epoch, images, edge_masks, viewmats,
                   Ks, lrs, lambda_proj, bg_ratio, apply_dir, apply_ratio,
                   check_sampling):
-        ts, run_sum, max_tiles = carry
+        ts, run_sum, max_tiles, max_ovf, max_trunc = carry
         gs = ts.gaussians
         key, k_bg, k_next = jax.random.split(ts.key, 3)
 
@@ -172,7 +178,11 @@ def make_epoch_fn(cfg: FrameworkConfig, width: int, height: int,
         gs = gs._replace(params=params)
         ts = TrainState(gaussians=gs, opt=opt, step=step, key=k_next)
         max_tiles = jnp.maximum(max_tiles, jnp.max(out.tile_counts))
-        return (ts, run_sum, max_tiles), proj_loss
+        n_ovf = jnp.sum((out.tile_counts > mcfg.tile_dense_capacity)
+                        .astype(jnp.int32))
+        max_ovf = jnp.maximum(max_ovf, n_ovf)
+        max_trunc = jnp.maximum(max_trunc, out.num_truncated)
+        return (ts, run_sum, max_tiles, max_ovf, max_trunc), proj_loss
 
     @jax.jit
     def epoch_fn(ts: TrainState, epoch: jnp.ndarray,
@@ -202,65 +212,114 @@ def make_epoch_fn(cfg: FrameworkConfig, width: int, height: int,
             bg_ratio=bg_ratio, apply_dir=apply_dir, apply_ratio=apply_ratio,
             check_sampling=check_sampling)
 
-        (ts, run_sum, max_tiles), view_losses = jax.lax.scan(
-            body, (ts, jnp.float32(0.0), jnp.int32(0)), view_order)
+        (ts, run_sum, max_tiles, max_ovf, max_trunc), view_losses = \
+            jax.lax.scan(
+                body, (ts, jnp.float32(0.0), jnp.int32(0), jnp.int32(0),
+                       jnp.int32(0)), view_order)
 
         stats = EpochStats(
             avg_loss=run_sum / num_views,
             num_alive=ts.gaussians.num_alive(),
-            max_tile_count=max_tiles)
+            max_tile_count=max_tiles,
+            max_overflow_tiles=max_ovf,
+            max_truncated=max_trunc)
         return ts, stats
 
     return epoch_fn
 
 
+def density_flags(epoch: int, cfg: FrameworkConfig) -> np.ndarray:
+    """Host-side schedule: which density ops fire at this epoch
+    (train_gaussians.py:186-219)."""
+    m = cfg.model
+    return np.array([
+        m.if_duplicate_high_pos_grad and
+        epoch in m.dup_high_pos_grads_at_epoch,
+        m.if_cull_gaussians_not_projecting and
+        epoch in m.cull_gaussians_not_projecting_at_epoch,
+        m.if_cull_low_opacity and epoch in m.cull_opacity_at_epoch,
+        m.if_cull_wayward and epoch in m.cull_wayward_at_epoch,
+        m.if_reset_opacity and epoch in m.reset_opacity_at_epoch,
+    ], dtype=bool)
+
+
+def make_density_fn(cfg: FrameworkConfig):
+    """One jitted dispatcher covering every density op under ``lax.cond``.
+
+    The ops fire on a host-static schedule, but compiling each op as its
+    own program costs one remote-compile round trip per op (and eager
+    execution costs one per *primitive*); a single program with traced
+    flags compiles once and serves every event epoch.
+    """
+    mcfg = cfg.model
+
+    @jax.jit
+    def density_fn(gs: GaussianState, moments, flags: jnp.ndarray,
+                   viewmats, Ks, edge_masks, key: jnp.ndarray):
+        def cond(i, fn, gs, moments):
+            return jax.lax.cond(flags[i], fn, lambda g, m: (g, m),
+                                gs, moments)
+
+        gs, moments = cond(
+            0, lambda g, m: density.duplicate_high_pos_gradients(
+                g, m, mcfg, key), gs, moments)
+        gs, moments = cond(
+            1, lambda g, m: density.cull_not_projecting(
+                g, m, mcfg, viewmats, Ks, edge_masks), gs, moments)
+        gs, moments = cond(
+            2, lambda g, m: density.cull_low_opacity(g, m, mcfg),
+            gs, moments)
+        gs, moments = cond(
+            3, lambda g, m: density.cull_wayward(g, m, mcfg), gs, moments)
+        gs, moments = cond(
+            4, lambda g, m: (g._replace(params=density.reset_opacities(
+                g.params, mcfg.reset_opacity_value)), m), gs, moments)
+
+        gs = gs._replace(
+            absgrads=jnp.zeros_like(gs.absgrads),
+            absgrad_count=jnp.ones_like(gs.absgrad_count))
+        return gs, moments
+
+    return density_fn
+
+
 def run_density_control(ts: TrainState, epoch: int, cfg: FrameworkConfig,
-                        viewmats, Ks, edge_masks,
-                        key: jnp.ndarray) -> Tuple[TrainState, bool]:
+                        viewmats, Ks, edge_masks, key: jnp.ndarray,
+                        density_fn=None) -> Tuple[TrainState, bool]:
     """Epoch-scheduled densify/cull dispatch (train_gaussians.py:186-219).
 
     Returns the updated state and whether anything fired (the reference then
     refreshes kNN and resets absgrads; kNN here is recomputed lazily at the
-    next direction-loss step, so only the absgrad reset is handled).
+    next direction-loss step, so only the absgrad reset is handled — inside
+    ``density_fn``, which only runs on event epochs).
     """
-    mcfg = cfg.model
-    gs, opt = ts.gaussians, ts.opt
-    fired = False
+    flags = density_flags(epoch, cfg)
+    if not flags.any():
+        return ts, False
+    if density_fn is None:
+        density_fn = make_density_fn(cfg)
+    gs, moments = density_fn(ts.gaussians, ts.opt.moments,
+                             jnp.asarray(flags), viewmats, Ks, edge_masks,
+                             key)
+    return ts._replace(gaussians=gs,
+                       opt=ts.opt._replace(moments=moments)), True
 
-    if mcfg.if_duplicate_high_pos_grad and \
-            epoch in mcfg.dup_high_pos_grads_at_epoch:
-        gs, moments = density.duplicate_high_pos_gradients(
-            gs, opt.moments, mcfg, key)
-        opt = opt._replace(moments=moments)
-        fired = True
 
-    if mcfg.if_cull_gaussians_not_projecting and \
-            epoch in mcfg.cull_gaussians_not_projecting_at_epoch:
-        gs, moments = density.cull_not_projecting(
-            gs, opt.moments, mcfg, viewmats, Ks, edge_masks)
-        opt = opt._replace(moments=moments)
-        fired = True
+def _put_images(images: np.ndarray) -> jnp.ndarray:
+    """Host->device image transfer, as uint8 when lossless.
 
-    if mcfg.if_cull_low_opacity and epoch in mcfg.cull_opacity_at_epoch:
-        gs, moments = density.cull_low_opacity(gs, opt.moments, mcfg)
-        opt = opt._replace(moments=moments)
-        fired = True
-
-    if mcfg.if_cull_wayward and epoch in mcfg.cull_wayward_at_epoch:
-        gs, moments = density.cull_wayward(gs, opt.moments, mcfg)
-        opt = opt._replace(moments=moments)
-        fired = True
-
-    if mcfg.if_reset_opacity and epoch in mcfg.reset_opacity_at_epoch:
-        gs = gs._replace(params=density.reset_opacities(
-            gs.params, mcfg.reset_opacity_value))
-        fired = True
-
-    if fired:
-        gs = gs._replace(absgrads=jnp.zeros_like(gs.absgrads),
-                         absgrad_count=jnp.ones_like(gs.absgrad_count))
-
-    return ts._replace(gaussians=gs, opt=opt), fired
+    Edge maps come from 8-bit PNGs, so their float values are exactly
+    n/255; shipping them as uint8 and converting on-device cuts the
+    transfer 4x in bytes — decisive on remote-attached TPUs, where a
+    50-view 800x800 f32 stack measured 133 s through the tunnel vs 1.4 s
+    as uint8. Falls back to f32 when quantization would lose data (e.g.,
+    resampled images).
+    """
+    arr = np.asarray(images, np.float32)
+    u8 = np.clip(np.rint(arr * 255.0), 0, 255).astype(np.uint8)
+    if np.max(np.abs(u8.astype(np.float32) / 255.0 - arr)) < 1e-6:
+        return jnp.asarray(u8).astype(jnp.float32) / 255.0
+    return jnp.asarray(arr)
 
 
 def grow_capacity(ts: TrainState, new_cap: int) -> TrainState:
@@ -344,7 +403,7 @@ def train(scene, seed_points: np.ndarray, cfg: FrameworkConfig,
         except Exception:
             pass
 
-    images = jnp.asarray(scene.images, jnp.float32)
+    images = _put_images(scene.images)
     edge_masks = images >= cfg.model.edge_detection_threshold
     viewmats = jnp.asarray(scene.viewmats)
     Ks = jnp.asarray(scene.Ks)
@@ -359,6 +418,7 @@ def train(scene, seed_points: np.ndarray, cfg: FrameworkConfig,
     else:
         ts = init_train_state(seed_points, cfg)
     epoch_fn = make_epoch_fn(cfg, scene.width, scene.height, backend)
+    density_fn = make_density_fn(cfg)
     grow_at = cfg.model.staged_capacity_grow_threshold
 
     key = jax.random.PRNGKey(cfg.training.seed + 1)
@@ -385,7 +445,7 @@ def train(scene, seed_points: np.ndarray, cfg: FrameworkConfig,
                 log_fn(f"epoch {epoch}: capacity {cap} -> {new_cap} "
                        f"(alive {alive})")
         ts, _ = run_density_control(ts, epoch, cfg, viewmats, Ks,
-                                    edge_masks, sub)
+                                    edge_masks, sub, density_fn=density_fn)
         if epoch % max(cfg.training.log_interval, 1) == 0:
             now = time.time()
             dt = max(now - t_prev, 1e-9)
@@ -393,6 +453,9 @@ def train(scene, seed_points: np.ndarray, cfg: FrameworkConfig,
             log_fn(f"epoch {epoch}: loss={float(stats.avg_loss):.5f} "
                    f"alive={int(stats.num_alive)} "
                    f"max_tile={int(stats.max_tile_count)} "
+                   f"ovf={int(stats.max_overflow_tiles)}/"
+                   f"{cfg.model.tile_overflow_tiles} "
+                   f"trunc={int(stats.max_truncated)} "
                    f"px/s={px_per_epoch / dt / 1e6:.1f}M "
                    f"t={now - t0:.1f}s")
         if writer is not None:

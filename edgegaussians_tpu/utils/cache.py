@@ -13,10 +13,13 @@ import os
 def enable_compilation_cache(path: str | None = None) -> None:
     if os.environ.get("EDGEGAUSSIANS_NO_COMPILE_CACHE"):
         return
-    # The axon remote-compile service stalls (observed: >25 min for a graph
-    # that compiles in ~5 min cacheless) when the persistent cache is on;
-    # skip it there.
-    if os.environ.get("PALLAS_AXON_REMOTE_COMPILE"):
+    # Under the axon remote-compile service, cache POPULATION is ~17x
+    # slower than a plain compile (measured: 528 s vs ~30 s for the train
+    # step) but cache HITS from later processes take ~5 s. Default to off
+    # there; EDGEGAUSSIANS_COMPILE_CACHE=1 opts in — worth it for
+    # multi-scan sweeps, where every scan reuses the same shapes.
+    if os.environ.get("PALLAS_AXON_REMOTE_COMPILE") and \
+            not os.environ.get("EDGEGAUSSIANS_COMPILE_CACHE"):
         return
     import jax
 
