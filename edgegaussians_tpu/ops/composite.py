@@ -135,6 +135,35 @@ def _tile_render_bwd(backend, res, g):
 tile_render.defvjp(_tile_render_fwd, _tile_render_bwd)
 
 
+def _scatter_rows(idx: jnp.ndarray, rows: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Accumulate ``rows`` [R,C] into ``[n,C]`` at row indices ``idx``.
+
+    Variant selected by EG_SCATTER_VARIANT (measured on v5e via full-step
+    bench sweeps): 'pad16' (default) pads rows to 16 f32 columns before one
+    fused scatter-add — consistently ~2% faster end-to-end than unpadded
+    10-col rows (aligned row stride); 'add' = unpadded scatter-add;
+    'sortseg' = sort by index + segment_sum (measured 25% SLOWER end-to-end:
+    the extra 560k-key sort costs more than the scatter saves).
+    """
+    import os
+    variant = os.environ.get("EG_SCATTER_VARIANT", "pad16")
+    if variant == "sortseg":
+        sidx, perm = jax.lax.sort_key_val(
+            idx, jnp.arange(idx.shape[0], dtype=jnp.int32))
+        srows = rows[perm]
+        out = jax.ops.segment_sum(srows, sidx, num_segments=n + 1,
+                                  indices_are_sorted=True)
+        return out[:n]
+    if variant == "pad16":
+        pad = (-rows.shape[1]) % 16
+        rows = jnp.pad(rows, ((0, 0), (0, pad)))
+        acc = jnp.zeros((n, rows.shape[1]), rows.dtype).at[idx].add(
+            rows, mode="drop")
+        return acc[:, :rows.shape[1] - pad] if pad else acc
+    return jnp.zeros((n, rows.shape[1]), dtype=rows.dtype).at[idx].add(
+        rows, mode="drop")
+
+
 # --- two-level capacity rendering -------------------------------------------
 #
 # Real edge scenes are sparse: median tile occupancy is ~0 while a few tiles
@@ -288,7 +317,7 @@ def _tl_bwd(backend, saved, g):
         jnp.concatenate([dg2, c2], axis=-1).reshape(-1, 10)], axis=0)
     idx = jnp.concatenate([bins2.ranks1.reshape(-1),
                            bins2.ranks2.reshape(-1)])
-    acc = jnp.zeros((n, 10), dtype=dg1.dtype).at[idx].add(rows, mode="drop")
+    acc = _scatter_rows(idx, rows, n)
     dpacked = acc[:, :8]
     # absgrad: sorted frame -> original ids (order is a permutation)
     dsink = jnp.zeros((n, 2), dtype=dg1.dtype).at[order].set(
