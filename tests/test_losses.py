@@ -51,6 +51,20 @@ def test_bg_edge_ratio_components():
     assert 0.75 < float(loss) < 0.75 + 1.01
 
 
+def test_kth_smallest_matches_sort_selection():
+    """Bisection order statistic selects exactly the sort-based set."""
+    key = jax.random.PRNGKey(3)
+    for n, m, k in [(4096, 4000, 100), (4096, 4000, 4000),
+                    (4096, 100, 500), (65536, 60000, 3000)]:
+        key, sk = jax.random.split(key)
+        flat = jnp.arange(n)
+        scores = jnp.where(flat < m, jax.random.uniform(sk, (n,)), 2.0)
+        kth_sort = jnp.sort(scores)[jnp.clip(k - 1, 0, n - 1)]
+        kth_bis = losses._kth_smallest(scores, jnp.int32(k))
+        assert bool(jnp.all((scores <= kth_sort) == (scores <= kth_bis))), \
+            (n, m, k)
+
+
 def test_knn_exact():
     pts = jnp.array([[0.0, 0, 0], [1.0, 0, 0], [2.5, 0, 0], [10.0, 0, 0]])
     d, idx = knn(pts, 2)
