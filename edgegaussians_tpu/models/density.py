@@ -128,18 +128,36 @@ def cull_not_projecting(state: GaussianState, moments: AdamMoments,
     v, h, w = edge_masks.shape
     means_h = jnp.concatenate(
         [state.params.means, jnp.ones((state.capacity, 1))], axis=1)  # [N,4]
-    P = jnp.einsum("vij,vjk->vik", Ks, viewmats[:, :3, :4])           # [V,3,4]
-    proj = jnp.einsum("vij,nj->vni", P, means_h)                      # [V,N,3]
-    xy = proj[..., :2] / proj[..., 2:3]
+    P = jnp.einsum("vij,vjk->vik", Ks, viewmats[:, :3, :4],
+                   precision=jax.lax.Precision.HIGHEST)               # [V,3,4]
+    # All-2-D formulation: the natural [V,N,3] batched projection forces
+    # XLA:TPU rank-3 minor-dim-3 relayouts that compile to ~17 MB of code
+    # (the same pathology measured for direction_loss — RESULTS.md).
+    # Three [N,4] @ [4,V] matmuls give identical values in 2-D shapes.
+    # HIGHEST precision: pixel coordinates reach O(800) and bf16 default
+    # multiplies would quantize them by +-2 px.
+    hp = jax.lax.Precision.HIGHEST
+    px = jnp.matmul(means_h, P[:, 0, :].T, precision=hp)              # [N,V]
+    py = jnp.matmul(means_h, P[:, 1, :].T, precision=hp)
+    pw = jnp.matmul(means_h, P[:, 2, :].T, precision=hp)
     # torch .round() rounds half to even; jnp.rint matches
-    xyr = jnp.rint(xy).astype(jnp.int32)
-    good = ((xyr[..., 0] >= 0) & (xyr[..., 0] < w)
-            & (xyr[..., 1] >= 0) & (xyr[..., 1] < h))
-    flat = (jnp.clip(xyr[..., 1], 0, h - 1) * w
-            + jnp.clip(xyr[..., 0], 0, w - 1))                       # [V,N]
-    on_edge = jnp.take_along_axis(
-        edge_masks.reshape(v, h * w), flat, axis=1)                  # [V,N]
-    visib = jnp.mean((on_edge & good).astype(jnp.float32), axis=0)   # [N]
+    xr = jnp.rint(px / pw).astype(jnp.int32)                          # [N,V]
+    yr = jnp.rint(py / pw).astype(jnp.int32)
+    good = (xr >= 0) & (xr < w) & (yr >= 0) & (yr < h)
+    flat = jnp.clip(yr, 0, h - 1) * w + jnp.clip(xr, 0, w - 1)        # [N,V]
+    # Per-view lax.scan for the mask lookups: XLA:TPU emits ~16 BYTES OF
+    # CODE PER GATHERED ELEMENT, so one N*V-element gather (or V
+    # take_along_axis ops) compiles to ~13 MB — the scan body holds ONE
+    # [N]-element gather and is compiled once. Same values, same runtime
+    # (gathers are per-element-overhead bound either way).
+    def view_hits(hits, args):
+        mask_v, flat_v, good_v = args                # [H*W], [N], [N]
+        return hits + (mask_v[flat_v] & good_v).astype(jnp.float32), None
+
+    hits, _ = jax.lax.scan(
+        view_hits, jnp.zeros((flat.shape[0],), jnp.float32),
+        (edge_masks.reshape(v, -1), flat.T, good.T))
+    visib = hits / v                                                  # [N]
     thresh = config.cull_gaussians_not_projecting_threshold
     return cull(state, moments, visib < thresh, config)
 
@@ -241,13 +259,17 @@ def _duplicate(state: GaussianState, moments: AdamMoments,
     written = jnp.zeros((cap,), dtype=bool)
 
     src_ids = jnp.arange(cap, dtype=jnp.int32)
+    # ONE RNG draw for all copies: each threefry `normal` instance compiles
+    # to ~1 MB of TPU code, so per-copy draws inside this unrolled loop
+    # multiplied program size (and remote-compile/upload time) by
+    # dup_factor. A leading-axis slice per copy is layout-free.
+    noise_all = noise_scale * jax.random.normal(key, (n_copies, cap, 3))
     for r in range(n_copies):
         free_rank = r * n_sel + sel_rank
         ok = dup_mask & (free_rank < n_free)
         target = jnp.where(ok, free_order[jnp.clip(free_rank, 0, cap - 1)],
                            cap)                               # cap = dropped
-        key, sub = jax.random.split(key)
-        noise = noise_scale * jax.random.normal(sub, (cap, 3))
+        noise = noise_all[r]
 
         def scatter(dst, src_vals):
             return dst.at[target].set(src_vals, mode="drop")

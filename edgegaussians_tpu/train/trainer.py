@@ -244,41 +244,53 @@ def density_flags(epoch: int, cfg: FrameworkConfig) -> np.ndarray:
 
 
 def make_density_fn(cfg: FrameworkConfig):
-    """One jitted dispatcher covering every density op under ``lax.cond``.
+    """Density-op dispatcher, jit-specialized per (host-static) flag combo.
 
-    The ops fire on a host-static schedule, but compiling each op as its
-    own program costs one remote-compile round trip per op (and eager
-    execution costs one per *primitive*); a single program with traced
-    flags compiles once and serves every event epoch.
+    The ops fire on a host-static schedule (``density_flags``), so each
+    distinct flag combination compiles a program containing EXACTLY the
+    scheduled ops. This matters far beyond avoiding wasted work: combining
+    ``duplicate_high_pos_gradients`` and ``cull_not_projecting`` in one
+    XLA program compiles to 30 MB where the two ops alone total 15 MB
+    (measured on v5e — the bloat survives lax.cond, jnp.where selection,
+    and optimization_barrier, so it is an XLA:TPU pass interaction, not
+    branch duplication we can structure away). Shipped schedules never
+    co-fire those ops, so per-combo programs stay ~7 MB each, uploaded
+    lazily at their first event epoch instead of one 30 MB monster at the
+    first event.
     """
     mcfg = cfg.model
+    cache = {}
 
-    @jax.jit
-    def density_fn(gs: GaussianState, moments, flags: jnp.ndarray,
-                   viewmats, Ks, edge_masks, key: jnp.ndarray):
-        def cond(i, fn, gs, moments):
-            return jax.lax.cond(flags[i], fn, lambda g, m: (g, m),
-                                gs, moments)
+    def specialize(flags_key):
+        @jax.jit
+        def fn(gs: GaussianState, moments, viewmats, Ks, edge_masks,
+               key: jnp.ndarray):
+            if flags_key[0]:
+                gs, moments = density.duplicate_high_pos_gradients(
+                    gs, moments, mcfg, key)
+            if flags_key[1]:
+                gs, moments = density.cull_not_projecting(
+                    gs, moments, mcfg, viewmats, Ks, edge_masks)
+            if flags_key[2]:
+                gs, moments = density.cull_low_opacity(gs, moments, mcfg)
+            if flags_key[3]:
+                gs, moments = density.cull_wayward(gs, moments, mcfg)
+            if flags_key[4]:
+                gs = gs._replace(params=density.reset_opacities(
+                    gs.params, mcfg.reset_opacity_value))
+            gs = gs._replace(
+                absgrads=jnp.zeros_like(gs.absgrads),
+                absgrad_count=jnp.ones_like(gs.absgrad_count))
+            return gs, moments
 
-        gs, moments = cond(
-            0, lambda g, m: density.duplicate_high_pos_gradients(
-                g, m, mcfg, key), gs, moments)
-        gs, moments = cond(
-            1, lambda g, m: density.cull_not_projecting(
-                g, m, mcfg, viewmats, Ks, edge_masks), gs, moments)
-        gs, moments = cond(
-            2, lambda g, m: density.cull_low_opacity(g, m, mcfg),
-            gs, moments)
-        gs, moments = cond(
-            3, lambda g, m: density.cull_wayward(g, m, mcfg), gs, moments)
-        gs, moments = cond(
-            4, lambda g, m: (g._replace(params=density.reset_opacities(
-                g.params, mcfg.reset_opacity_value)), m), gs, moments)
+        return fn
 
-        gs = gs._replace(
-            absgrads=jnp.zeros_like(gs.absgrads),
-            absgrad_count=jnp.ones_like(gs.absgrad_count))
-        return gs, moments
+    def density_fn(gs: GaussianState, moments, flags, viewmats, Ks,
+                   edge_masks, key: jnp.ndarray):
+        flags_key = tuple(bool(f) for f in np.asarray(flags))
+        if flags_key not in cache:
+            cache[flags_key] = specialize(flags_key)
+        return cache[flags_key](gs, moments, viewmats, Ks, edge_masks, key)
 
     return density_fn
 
