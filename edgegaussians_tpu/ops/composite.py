@@ -160,6 +160,28 @@ def _scatter_rows(idx: jnp.ndarray, rows: jnp.ndarray, n: int) -> jnp.ndarray:
         acc = jnp.zeros((n, rows.shape[1]), rows.dtype).at[idx].add(
             rows, mode="drop")
         return acc[:, :rows.shape[1] - pad] if pad else acc
+    if variant == "chunked":
+        # pad16 + fori_loop over row chunks: XLA:TPU emits scatter code
+        # proportional to the scattered ROW COUNT (~10 B/row), so one
+        # 560k-row scatter is ~5 MB of program; a loop body holding one
+        # chunk-row scatter is compiled once. Same adds, chunked order.
+        chunk = 65536
+        padc = (-rows.shape[1]) % 16
+        rows = jnp.pad(rows, ((0, 0), (0, padc)))
+        padr = (-rows.shape[0]) % chunk
+        if padr:
+            rows = jnp.pad(rows, ((0, padr), (0, 0)))
+            idx = jnp.pad(idx, (0, padr), constant_values=n)  # dropped
+        c = rows.shape[1]
+
+        def body(i, acc):
+            rs = jax.lax.dynamic_slice_in_dim(rows, i * chunk, chunk)
+            ix = jax.lax.dynamic_slice_in_dim(idx, i * chunk, chunk)
+            return acc.at[ix].add(rs, mode="drop")
+
+        acc = jax.lax.fori_loop(0, rows.shape[0] // chunk, body,
+                                jnp.zeros((n, c), rows.dtype))
+        return acc[:, :c - padc] if padc else acc
     return jnp.zeros((n, rows.shape[1]), dtype=rows.dtype).at[idx].add(
         rows, mode="drop")
 
