@@ -25,7 +25,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from edgegaussians_tpu.ops.transforms import covariance_from_quat_scale
+from edgegaussians_tpu.ops.transforms import covariance6_from_quat_scale
 
 # Screen-space low-pass filter added to every 2D covariance (gsplat's eps2d).
 EPS2D = 0.3
@@ -93,10 +93,21 @@ def project_gaussians(
     my = fy * y / zs + cy
     means2d = jnp.stack([mx, my], axis=-1)
 
-    # world covariance -> camera covariance
-    sigma_w = covariance_from_quat_scale(quats, scales.astype(f32))  # [N,3,3]
-    sigma_c = jnp.einsum("ij,njk,lk->nil", R_cw, sigma_w, R_cw,
-                         precision=jax.lax.Precision.HIGHEST)
+    # world covariance -> camera covariance, in scalar components: any
+    # [N,3,3] tensor here would cost rank-3 relayout code (~3 MB of the
+    # program) AND runtime copies on every render. R_cw entries are
+    # scalars, so Sigma_c = R Sigma R^T is 2 static 3x3 expansions of
+    # pure [N]-vector VPU math — exact f32, no MXU involvement.
+    w00, w01, w02, w11, w12, w22 = covariance6_from_quat_scale(
+        quats, scales.astype(f32))
+    sigma_w = [[w00, w01, w02], [w01, w11, w12], [w02, w12, w22]]
+    r = [[R_cw[i, k] for k in range(3)] for i in range(3)]
+    # M = R Sigma  (3x3 of [N])
+    M = [[r[i][0] * sigma_w[0][j] + r[i][1] * sigma_w[1][j]
+          + r[i][2] * sigma_w[2][j] for j in range(3)] for i in range(3)]
+
+    def sig_c(i, j):
+        return M[i][0] * r[j][0] + M[i][1] * r[j][1] + M[i][2] * r[j][2]
 
     # perspective Jacobian with tan clamp (frustum-limited EWA)
     tan_fovx = 0.5 * width / fx
@@ -114,8 +125,8 @@ def project_gaussians(
     j12 = -fy * ty * rz2
 
     # cov2d = J sigma_c J^T, expanded to avoid [N,2,3] temporaries
-    s00 = sigma_c[:, 0, 0]; s01 = sigma_c[:, 0, 1]; s02 = sigma_c[:, 0, 2]
-    s11 = sigma_c[:, 1, 1]; s12 = sigma_c[:, 1, 2]; s22 = sigma_c[:, 2, 2]
+    s00 = sig_c(0, 0); s01 = sig_c(0, 1); s02 = sig_c(0, 2)
+    s11 = sig_c(1, 1); s12 = sig_c(1, 2); s22 = sig_c(2, 2)
     c00 = j00 * (j00 * s00 + j02 * s02) + j02 * (j00 * s02 + j02 * s22)
     c01 = j00 * (j11 * s01 + j12 * s02) + j02 * (j11 * s12 + j12 * s22)
     c11 = j11 * (j11 * s11 + j12 * s12) + j12 * (j11 * s12 + j12 * s22)

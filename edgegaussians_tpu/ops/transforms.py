@@ -69,6 +69,39 @@ def major_directions(scales: jnp.ndarray, quats: jnp.ndarray) -> jnp.ndarray:
                      jnp.where(amax == 1, col1, col2))
 
 
+def rotmat_elements(quats: jnp.ndarray):
+    """wxyz quaternions [N,4] -> the 9 rotation-matrix elements as a 3x3
+    nested list of [N] arrays (row-major).
+
+    Scalar-component form of :func:`quats_to_rotmats` for consumers that
+    must avoid [N,3,3] tensors: XLA:TPU compiles ops that mix a size-3
+    minor dim into ~MB-scale relayout code (see docs/RESULTS.md).
+    """
+    q = normalize_quats(quats)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    return [
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ]
+
+
+def covariance6_from_quat_scale(quats: jnp.ndarray, scales: jnp.ndarray):
+    """World covariance Sigma = R S S^T R^T as its 6 unique components.
+
+    Returns (s00, s01, s02, s11, s12, s22), each [N] — the scalar-component
+    counterpart of :func:`covariance_from_quat_scale` (no [N,3,3] tensors;
+    pure VPU f32 arithmetic, exact).
+    """
+    r = rotmat_elements(quats)
+    m = [[r[i][k] * scales[:, k] for k in range(3)] for i in range(3)]
+
+    def dot(i, j):
+        return m[i][0] * m[j][0] + m[i][1] * m[j][1] + m[i][2] * m[j][2]
+
+    return dot(0, 0), dot(0, 1), dot(0, 2), dot(1, 1), dot(1, 2), dot(2, 2)
+
+
 def covariance_from_quat_scale(quats: jnp.ndarray,
                                scales: jnp.ndarray) -> jnp.ndarray:
     """World-space 3x3 covariance Sigma = R S S^T R^T ([N,3,3]).
