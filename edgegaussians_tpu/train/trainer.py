@@ -435,6 +435,12 @@ def train(scene, seed_points: np.ndarray, cfg: FrameworkConfig,
 
     key = jax.random.PRNGKey(cfg.training.seed + 1)
     px_per_epoch = scene.num_views * scene.width * scene.height
+    # resolved level-2 tile budget for the log line (0/None = auto T//4,
+    # matching rasterize())
+    from edgegaussians_tpu.ops.tiles import tile_grid
+    _num_tiles = tile_grid(scene.width, scene.height,
+                           cfg.model.tile_size)[2]
+    ovf_budget = cfg.model.tile_overflow_tiles or max(_num_tiles // 4, 8)
     t0 = time.time()
     t_prev = t0
     for epoch in range(cfg.training.num_epochs):
@@ -466,7 +472,7 @@ def train(scene, seed_points: np.ndarray, cfg: FrameworkConfig,
                    f"alive={int(stats.num_alive)} "
                    f"max_tile={int(stats.max_tile_count)} "
                    f"ovf={int(stats.max_overflow_tiles)}/"
-                   f"{cfg.model.tile_overflow_tiles} "
+                   f"{ovf_budget} "
                    f"trunc={int(stats.max_truncated)} "
                    f"px/s={px_per_epoch / dt / 1e6:.1f}M "
                    f"t={now - t0:.1f}s")
