@@ -157,3 +157,72 @@ def test_evaluate_cli(tmp_path):
         "--write_metrics_dir", str(tmp_path / "metrics")])
     assert rc == 0
     assert (tmp_path / "metrics" / "release" / "DexiNed" / "pr.pkl").exists()
+
+
+def test_sweep_cli(mini_dataset):
+    """sweep CLI trains every scene of a config and writes the summary."""
+    import shutil
+
+    from edgegaussians_tpu.cli import sweep as sweep_cli
+
+    cfg_path, tmp = mini_dataset
+    # second scene: copy of the first
+    shutil.copytree(tmp / "data" / "SCENE01", tmp / "data" / "SCENE02")
+    rc = sweep_cli.main(["--config_file", cfg_path, "--scene_names", "all",
+                         "--backend", "jax"])
+    assert rc == 0
+    out = tmp / "out" / "t_DexiNed"
+    for scene in ("SCENE01", "SCENE02"):
+        assert (out / scene / "gaussians_all.ply").exists()
+    summary = json.loads((out / "sweep_p0.json").read_text())
+    assert set(summary) == {"SCENE01", "SCENE02"}
+    assert all(v["gaussians"] > 0 for v in summary.values())
+
+
+def test_precompute_gt_cli(tmp_path):
+    """precompute_gt samples fabricated ABC GT edges to a PLY."""
+    from edgegaussians_tpu.cli import precompute_gt
+    from edgegaussians_tpu.io.ply import read_point_cloud
+
+    scan = "12345678"
+    objs = tmp_path / "obj"
+    objs.mkdir()
+    (objs / f"{scan}_abc.obj").write_text(
+        "v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\n")
+    (tmp_path / "chunk_0000_feats.json").write_text(json.dumps({scan: [
+        {"type": "Line", "sharp": True, "vert_indices": [0, 1]},
+        {"type": "Line", "sharp": True, "vert_indices": [1, 2]},
+        {"type": "BSpline", "sharp": False, "vert_indices": [2, 3]},
+    ]}))
+    (tmp_path / "chunk_0000_stats.json").write_text(json.dumps(
+        {scan: {"bbox": [0, 0, 0, 1, 1, 1, 1, 1, 1]}}))
+
+    rc = precompute_gt.main(["--gt_base_dir", str(tmp_path),
+                             "--scan_names", scan])
+    assert rc == 0
+    out = tmp_path / "sampled_pts" / f"{scan}_0.005.ply"
+    assert out.exists()
+    pts = read_point_cloud(str(out))
+    # two unit edges at 5 mm spacing, normalized into the 0.5^3 box
+    assert 300 < len(pts) < 500
+    assert pts.min() >= -0.01 and pts.max() <= 1.01
+
+
+def test_visualize_cli(tmp_path):
+    """visualize CLI renders a dirs-PLY to a PNG."""
+    import numpy as np
+
+    from edgegaussians_tpu.cli import (
+        visualize_points_with_major_dirs as vis_cli)
+    from edgegaussians_tpu.io.ply import write_pts_with_major_dirs_as_ply
+
+    r = np.random.default_rng(0)
+    pos = r.uniform(0, 1, (50, 3)).astype(np.float32)
+    dirs = r.normal(size=(50, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    ply = tmp_path / "dirs.ply"
+    write_pts_with_major_dirs_as_ply(pos, dirs, str(ply))
+    png = tmp_path / "vis.png"
+    rc = vis_cli.main(["--dirs_ply", str(ply), "--save_path", str(png)])
+    assert rc == 0
+    assert png.exists() and png.stat().st_size > 0
