@@ -226,3 +226,87 @@ def test_visualize_cli(tmp_path):
     rc = vis_cli.main(["--dirs_ply", str(ply), "--save_path", str(png)])
     assert rc == 0
     assert png.exists() and png.stat().st_size > 0
+
+
+def test_colmap_parser_train_cli(tmp_path):
+    """parser_type=colmap scene loads and trains end-to-end (the COLMAP
+    branch of the data layer — reference dataparsers.py:38-93)."""
+    import numpy as np
+    from PIL import Image
+
+    from edgegaussians_tpu.cli import train as train_cli
+    from edgegaussians_tpu.io.ply import write_point_cloud
+
+    scene = tmp_path / "data" / "SCENEC"
+    colmap = scene / "colmap"
+    edge_dir = scene / "edge_DexiNed"
+    colmap.mkdir(parents=True)
+    edge_dir.mkdir()
+
+    w = h = 48
+    f = 40.0
+    # cameras.txt: one shared PINHOLE camera
+    (colmap / "cameras.txt").write_text(
+        f"# cameras\n1 PINHOLE {w} {h} {f} {f} {w/2} {h/2}\n")
+    # images.txt: 2 views, identity-ish poses (qvec wxyz, tvec), 2-line recs
+    lines = ["# images"]
+    for i in range(2):
+        tx = 0.5 + 0.05 * i
+        lines.append(f"{i+1} 1 0 0 0 {-tx} -0.5 2.0 1 {i}_colors.png")
+        lines.append("")  # empty POINTS2D line
+    (colmap / "images.txt").write_text("\n".join(lines) + "\n")
+    # seed points
+    rng = np.random.default_rng(0)
+    write_point_cloud(str(colmap / "sparse.ply"),
+                      rng.uniform(0.3, 0.7, (64, 3)))
+    for i in range(2):
+        img = np.zeros((h, w), np.uint8)
+        img[22:26, 8:40] = 255
+        Image.fromarray(img, mode="L").save(edge_dir / f"{i}_colors.png")
+
+    cfg = {
+        "model": {
+            "init_random_init": False, "init_min_num_gaussians": 64,
+            "init_scales_val": 0.02, "init_opacity_val": 0.2,
+            "if_duplicate_high_pos_grad": False,
+            "if_cull_low_opacity": False, "if_cull_wayward": False,
+            "if_cull_gaussians_not_projecting": False,
+            "max_num_gaussians": 128, "tile_gaussian_capacity": 64,
+            "tile_dense_capacity": 0, "tile_size": 16,
+        },
+        "training": {
+            "num_epochs": 2,
+            "optim": {
+                "means": {"type": "step", "start_lr": 5e-3,
+                          "milestones": [], "gamma": 1.0},
+                "scales": {"type": "start_at", "start_lr": 1e-3,
+                           "start_at_epoch": 0},
+                "quats": {"type": "start_at", "start_lr": 1e-3,
+                          "start_at_epoch": 0},
+                "opacities": {"type": "start_at", "start_lr": 0.03,
+                              "start_at_epoch": 0},
+            },
+            "loss": {
+                "orientation_losses": {"start_dir_loss_at_epoch": 99,
+                                       "start_ratio_loss_at_epoch": 99},
+                "projection_losses": {"start_alternating_at_epoch": 99},
+            },
+        },
+        "data": {"parser_type": "colmap", "dataset_name": "ABC",
+                 "base_dir": str(tmp_path / "data") + "/",
+                 "edge_detection_method": "DexiNed",
+                 "image_res_scaling_factor": 1, "scale_scene_unit": False},
+        "output": {"output_dir": str(tmp_path / "out") + "/",
+                   "export_ply": True,
+                   "log_dir": str(tmp_path / "logs") + "/",
+                   "exp_name": "t"},
+        "filtering": {}, "parametric_fitting": {},
+    }
+    cfg_path = tmp_path / "cfgc.json"
+    cfg_path.write_text(json.dumps(cfg))
+
+    rc = train_cli.main(["--config_file", str(cfg_path),
+                         "--scene_name", "SCENEC", "--backend", "jax"])
+    assert rc == 0
+    assert (tmp_path / "out" / "t_DexiNed" / "SCENEC"
+            / "gaussians_all.ply").exists()
