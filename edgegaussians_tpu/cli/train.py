@@ -32,6 +32,11 @@ def main(argv=None):
     ap.add_argument("--force_rerun", action="store_true")
     ap.add_argument("--backend", type=str, default="auto",
                     choices=["auto", "pallas", "jax"])
+    ap.add_argument("--profile_dir", type=str, default=None,
+                    help="dump a jax.profiler trace of steady-state epochs "
+                         "here (view in TensorBoard's trace viewer)")
+    ap.add_argument("--profile_epochs", type=int, default=1,
+                    help="number of steady-state epochs to trace")
     args = ap.parse_args(argv)
 
     from edgegaussians_tpu.utils.cache import enable_compilation_cache
@@ -89,7 +94,9 @@ def main(argv=None):
                        initial_state=initial_state,
                        checkpoint_dir=(output_dir
                                        if cfg.training.checkpoint_interval
-                                       else None))
+                                       else None),
+                       profile_dir=args.profile_dir,
+                       profile_epochs=args.profile_epochs)
     elapsed = time.time() - t0
     print(f"Training took {elapsed} seconds")
     with open(os.path.join(output_dir, "time.txt"), "w") as f:

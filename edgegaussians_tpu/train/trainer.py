@@ -394,7 +394,9 @@ def train(scene, seed_points: np.ndarray, cfg: FrameworkConfig,
           backend: str = "auto", log_fn=print,
           checkpoint_dir: Optional[str] = None,
           log_dir: Optional[str] = None,
-          initial_state: Optional[TrainState] = None) -> TrainState:
+          initial_state: Optional[TrainState] = None,
+          profile_dir: Optional[str] = None,
+          profile_epochs: int = 1) -> TrainState:
     """Full training run on one scene (train_gaussians.py:144-222).
 
     ``scene`` is a SceneViews; returns the trained state. Checkpoints are
@@ -443,9 +445,22 @@ def train(scene, seed_points: np.ndarray, cfg: FrameworkConfig,
     ovf_budget = cfg.model.tile_overflow_tiles or max(_num_tiles // 4, 8)
     t0 = time.time()
     t_prev = t0
+    # steady-state trace window: skip the compile epochs (0-1), trace
+    # [2, 2 + profile_epochs)
+    prof_start = 2 if profile_dir else None
+    prof_stop = (2 + max(profile_epochs, 1)) if profile_dir else None
+
     for epoch in range(cfg.training.num_epochs):
+        if prof_start is not None and epoch == prof_start:
+            jax.block_until_ready(ts.gaussians.params.means)
+            jax.profiler.start_trace(profile_dir)
         ts, stats = epoch_fn(ts, jnp.int32(epoch), images, edge_masks,
                              viewmats, Ks)
+        if prof_stop is not None and prof_start <= epoch < prof_stop and \
+                epoch + 1 == prof_stop:
+            jax.block_until_ready(ts.gaussians.params.means)
+            jax.profiler.stop_trace()
+            log_fn(f"profiler trace written to {profile_dir}")
         key, sub = jax.random.split(key)
         if cfg.model.staged_capacity and ts.gaussians.capacity < max_cap:
             # a scheduled duplication can add up to `alive` clones — make
