@@ -64,9 +64,26 @@ def _strategy_index(name: str) -> int:
         raise ValueError(f"Unknown projection loss strategy: {name}")
 
 
+# Program memo: multi-scene sweeps call make_epoch_fn/make_density_fn once
+# per scene; without memoization each scene gets fresh jax.jit wrappers and
+# re-compiles every program (on remote-attached TPUs a full compile per
+# scene — measured as 100-200 s mid-sweep stalls). Keyed on the full static
+# configuration, so scenes with identical geometry share executables.
+_PROGRAM_MEMO: dict = {}
+
+
+def _cfg_memo_key(cfg: FrameworkConfig) -> str:
+    import dataclasses
+    import json
+    return json.dumps(dataclasses.asdict(cfg), sort_keys=True, default=str)
+
+
 def make_epoch_fn(cfg: FrameworkConfig, width: int, height: int,
                   backend: str):
-    """Build the jitted epoch function for a fixed scene geometry."""
+    """Build (or reuse) the jitted epoch function for a scene geometry."""
+    memo_key = ("epoch", _cfg_memo_key(cfg), width, height, backend)
+    if memo_key in _PROGRAM_MEMO:
+        return _PROGRAM_MEMO[memo_key]
     mcfg = cfg.model
     tcfg = cfg.training
     pl_cfg = tcfg.loss.projection_losses
@@ -225,6 +242,7 @@ def make_epoch_fn(cfg: FrameworkConfig, width: int, height: int,
             max_truncated=max_trunc)
         return ts, stats
 
+    _PROGRAM_MEMO[memo_key] = epoch_fn
     return epoch_fn
 
 
@@ -258,6 +276,9 @@ def make_density_fn(cfg: FrameworkConfig):
     lazily at their first event epoch instead of one 30 MB monster at the
     first event.
     """
+    memo_key = ("density", _cfg_memo_key(cfg))
+    if memo_key in _PROGRAM_MEMO:
+        return _PROGRAM_MEMO[memo_key]
     mcfg = cfg.model
     cache = {}
 
@@ -292,6 +313,7 @@ def make_density_fn(cfg: FrameworkConfig):
             cache[flags_key] = specialize(flags_key)
         return cache[flags_key](gs, moments, viewmats, Ks, edge_masks, key)
 
+    _PROGRAM_MEMO[memo_key] = density_fn
     return density_fn
 
 

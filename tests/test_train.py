@@ -191,3 +191,27 @@ def test_staged_capacity_training_matches_behavior(scene_and_cfg):
     assert ts.gaussians.capacity > 1024
     assert any("capacity" in m and "->" in m for m in msgs), msgs
     assert int(ts.gaussians.num_alive()) >= 900
+
+
+def test_program_memo_reuses_epoch_fn():
+    """Sweeps over same-geometry scenes must reuse compiled programs
+    (fresh jax.jit wrappers per scene = a full recompile per scene on
+    remote-attached TPUs)."""
+    import copy
+
+    from edgegaussians_tpu.config import FrameworkConfig
+    from edgegaussians_tpu.train import trainer
+
+    cfg = FrameworkConfig()
+    f1 = trainer.make_epoch_fn(cfg, 64, 48, "jax")
+    f2 = trainer.make_epoch_fn(copy.deepcopy(cfg), 64, 48, "jax")
+    assert f1 is f2
+    assert trainer.make_epoch_fn(cfg, 64, 64, "jax") is not f1
+
+    d1 = trainer.make_density_fn(cfg)
+    d2 = trainer.make_density_fn(copy.deepcopy(cfg))
+    assert d1 is d2
+
+    cfg2 = copy.deepcopy(cfg)
+    cfg2.model.tile_size = 8
+    assert trainer.make_epoch_fn(cfg2, 64, 48, "jax") is not f1
