@@ -29,6 +29,11 @@ def main(argv=None):
     ap.add_argument("--n_curves", type=int, default=4)
     ap.add_argument("--edge_detector", type=str, default="DexiNed")
     ap.add_argument("--gt_resolution", type=float, default=0.005)
+    ap.add_argument("--noise_dropout", type=float, default=0.0,
+                    help="fraction of edge response removed in patches")
+    ap.add_argument("--noise_spurious", type=int, default=0,
+                    help="false-edge blobs per view")
+    ap.add_argument("--noise_intensity_jitter", type=float, default=0.0)
     args = ap.parse_args(argv)
 
     for i, scan in enumerate(args.scan_names):
@@ -36,7 +41,10 @@ def main(argv=None):
             args.base_dir, scan, seed=args.seed + i, n_views=args.n_views,
             width=args.width, height=args.height, n_lines=args.n_lines,
             n_curves=args.n_curves, edge_detector=args.edge_detector,
-            gt_resolution=args.gt_resolution)
+            gt_resolution=args.gt_resolution,
+            noise_dropout=args.noise_dropout,
+            noise_spurious=args.noise_spurious,
+            noise_intensity_jitter=args.noise_intensity_jitter)
         print(f"{scan}: wrote {paths['scene_dir']} "
               f"(GT {paths['gt_ply']})")
     return 0

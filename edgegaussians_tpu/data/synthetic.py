@@ -157,6 +157,47 @@ def make_cameras(rng: np.random.Generator, n_views: int = 50,
 # edge-map rendering
 
 
+def add_detector_noise(img: np.ndarray, rng: np.random.Generator,
+                       dropout: float = 0.0, n_spurious: int = 0,
+                       intensity_jitter: float = 0.0,
+                       sigma_px: float = 1.0) -> np.ndarray:
+    """Degrade a clean edge map the way real detectors do.
+
+    - ``dropout``: fraction of the edge response zeroed in random square
+      patches (detectors miss low-contrast segments per-view),
+    - ``n_spurious``: random Gaussian blobs added as false edges (texture /
+      shading responses),
+    - ``intensity_jitter``: multiplicative response noise.
+    """
+    h, w = img.shape
+    out = img.copy()
+    if dropout > 0:
+        # zero random patches until ~dropout of edge mass is gone
+        target = dropout * out.sum()
+        removed, tries = 0.0, 0
+        while removed < target and tries < 200:
+            cy, cx = rng.integers(0, h), rng.integers(0, w)
+            r = int(rng.integers(8, 25))
+            y0, y1 = max(cy - r, 0), min(cy + r, h)
+            x0, x1 = max(cx - r, 0), min(cx + r, w)
+            removed += out[y0:y1, x0:x1].sum()
+            out[y0:y1, x0:x1] = 0.0
+            tries += 1
+    if n_spurious > 0:
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        for _ in range(n_spurious):
+            cy, cx = rng.uniform(0, h), rng.uniform(0, w)
+            s = rng.uniform(sigma_px, 3 * sigma_px)
+            amp = rng.uniform(0.4, 1.0)
+            blob = amp * np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2)
+                                / (2 * s * s))
+            out = np.maximum(out, blob.astype(np.float32))
+    if intensity_jitter > 0:
+        out = out * (1.0 + intensity_jitter *
+                     rng.normal(size=out.shape).astype(np.float32))
+    return np.clip(out, 0.0, 1.0)
+
+
 def render_edge_map(points_w: np.ndarray, c2w: np.ndarray, K: np.ndarray,
                     width: int, height: int,
                     sigma_px: float = 1.0) -> np.ndarray:
@@ -197,7 +238,10 @@ def generate_scene(base_dir: str, scan_name: str, seed: int = 0,
                    n_curves: int = 4, gt_resolution: float = 0.005,
                    edge_detector: str = "DexiNed",
                    draw_spacing: float = 0.0015,
-                   sigma_px: float = 1.0) -> Dict[str, str]:
+                   sigma_px: float = 1.0,
+                   noise_dropout: float = 0.0,
+                   noise_spurious: int = 0,
+                   noise_intensity_jitter: float = 0.0) -> Dict[str, str]:
     """Write a full synthetic scan under ``base_dir`` with the ABC-NEF
     layout the parsers/eval expect:
 
@@ -229,6 +273,10 @@ def generate_scene(base_dir: str, scan_name: str, seed: int = 0,
     for i, c2w in enumerate(c2ws):
         img = render_edge_map(draw_pts, c2w, K, width, height,
                               sigma_px=sigma_px)
+        if noise_dropout or noise_spurious or noise_intensity_jitter:
+            img = add_detector_noise(
+                img, rng, dropout=noise_dropout, n_spurious=noise_spurious,
+                intensity_jitter=noise_intensity_jitter, sigma_px=sigma_px)
         name = f"{i}_colors.png"
         Image.fromarray((img * 255).astype(np.uint8), mode="L") \
             .save(os.path.join(edge_dir, name))

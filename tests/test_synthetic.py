@@ -132,3 +132,21 @@ def test_synthetic_end_to_end(tmp_path):
     assert np.isfinite(res["chamfer_dist"])
     assert metrics_pr["fscore_0.01"] and \
         np.isfinite(metrics_pr["fscore_0.01"][0])
+
+
+def test_detector_noise():
+    rng = np.random.default_rng(5)
+    img = np.zeros((64, 64), np.float32)
+    img[30:33, 10:50] = 1.0
+    noisy = synthetic.add_detector_noise(img, rng, dropout=0.3,
+                                         n_spurious=4,
+                                         intensity_jitter=0.1)
+    assert noisy.shape == img.shape
+    assert 0.0 <= noisy.min() and noisy.max() <= 1.0
+    # dropout removed some edge mass on the band...
+    band = noisy[30:33, 10:50]
+    assert band.sum() < img[30:33, 10:50].sum()
+    # ...and spurious blobs added response off the band
+    off = noisy.copy()
+    off[28:35, 8:52] = 0.0
+    assert off.sum() > 0.5
