@@ -43,6 +43,10 @@ class ModelConfig:
     """
 
     if_duplicate_high_pos_grad: bool = True
+    # 'absolute' / 'percentile_top' mirror the reference (edge_gs.py:544-576);
+    # 'top_fraction' is a TPU-native addition: duplicate the top
+    # dup_threshold_value fraction of alive Gaussians by absgrad
+    # (count-deterministic; see models/density.py)
     dup_threshold_type: str = "percentile"
     dup_threshold_value: float = 0.95
     dup_factor: int = 2

@@ -215,10 +215,20 @@ def duplicate_high_pos_gradients(state: GaussianState, moments: AdamMoments,
         num_q = int(round(1.0 / config.dup_threshold_value))
         thresh = masked_quantile(grads, state.alive,
                                  (num_q - 1) / num_q, method="lower")
+        dup_mask = (grads_n > thresh) & state.alive
+    elif config.dup_threshold_type == "top_fraction":
+        # TPU-native addition: duplicate the top `dup_threshold_value`
+        # fraction of alive Gaussians by absgrad. Count-deterministic,
+        # unlike 'absolute', whose cutoff on min-max-normalized grads
+        # sits on a knife edge where toolchain-level numeric shifts move
+        # scheduled dup counts by thousands (docs/RESULTS.md).
+        thresh = masked_quantile(grads, state.alive,
+                                 1.0 - config.dup_threshold_value,
+                                 method="lower")
+        dup_mask = (grads > thresh) & state.alive
     else:
         thresh = jnp.float32(config.dup_threshold_value)
-
-    dup_mask = (grads_n > thresh) & state.alive
+        dup_mask = (grads_n > thresh) & state.alive
     state, moments = _duplicate(state, moments, dup_mask,
                                 config.dup_factor,
                                 config.init_dup_rand_noise_scale, key)

@@ -110,6 +110,26 @@ def test_duplicate_high_pos_gradients_absolute():
     assert float(jnp.sum(gs2.absgrads)) == 0.0       # reset after dup
 
 
+def test_duplicate_high_pos_gradients_top_fraction():
+    gs, opt, cfg = _make(n=8, cap=32)
+    cfg.dup_threshold_type = "top_fraction"
+    cfg.dup_threshold_value = 0.25          # top quarter of 8 alive -> 2
+    cfg.dup_factor = 2
+    absgrads = jnp.zeros((32,)).at[:8].set(
+        jnp.array([0.0, 0.1, 0.2, 0.3, 0.4, 0.8, 0.9, 1.0]))
+    gs = gs._replace(absgrads=absgrads, absgrad_count=jnp.float32(1.0))
+    gs2, _ = density.duplicate_high_pos_gradients(gs, opt.moments, cfg,
+                                                  jax.random.PRNGKey(0))
+    # strictly above the 0.75-quantile ('lower') -> rows 6,7 -> 2 clones
+    assert int(gs2.num_alive()) == 10
+    # count stays 2 under a uniform shift of the grads (no knife edge on
+    # the normalized scale, unlike 'absolute')
+    gs3 = gs._replace(absgrads=absgrads + 0.3, absgrad_count=jnp.float32(1.0))
+    gs4, _ = density.duplicate_high_pos_gradients(gs3, opt.moments, cfg,
+                                                  jax.random.PRNGKey(0))
+    assert int(gs4.num_alive()) == 10
+
+
 def test_masked_quantile_matches_numpy():
     vals = jnp.array([5.0, 1.0, 3.0, 2.0, 4.0, 99.0])
     mask = jnp.array([True, True, True, True, True, False])
