@@ -75,7 +75,13 @@ _PROGRAM_MEMO: dict = {}
 def _cfg_memo_key(cfg: FrameworkConfig) -> str:
     import dataclasses
     import json
-    return json.dumps(dataclasses.asdict(cfg), sort_keys=True, default=str)
+    d = dataclasses.asdict(cfg)
+    # runtime-only knobs that never reach a traced program: the RNG seed is
+    # carried in TrainState/inputs, and output paths are host-side. Dropping
+    # them lets multi-seed spread sweeps share compiled programs.
+    d["training"].pop("seed", None)
+    d.pop("output", None)
+    return json.dumps(d, sort_keys=True, default=str)
 
 
 def make_epoch_fn(cfg: FrameworkConfig, width: int, height: int,

@@ -1,0 +1,168 @@
+"""Time-to-converge experiment: quality vs. training epoch on one scan.
+
+The BASELINE.md north star is "time-to-converge on ABC scan 00004926", but
+the reference always trains the full scheduled 400 epochs
+(train_gaussians.py:164 — no early stop, no intermediate eval). This script
+measures where quality actually saturates: train the shipped config once
+with periodic checkpoints, then run the full extraction + eval pipeline on
+every checkpoint and print quality-vs-wall-clock.
+
+Stage `train` needs the TPU env (JAX_PLATFORMS=axon); stage `eval` is
+CPU/NumPy. Example:
+
+    python scripts/time_to_converge.py --stage train
+    python scripts/time_to_converge.py --stage eval --seeds 3
+"""
+
+import argparse
+import json
+import os
+import re
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+SCAN = "00004926"
+GT_BASE = "data/ABC-NEF_Edge/groundtruth"
+
+
+def derive_config(base_config: str, out_root: str, interval: int) -> str:
+    with open(base_config) as f:
+        cfg = json.load(f)
+    cfg["training"]["checkpoint_interval"] = interval
+    cfg["output"]["output_dir"] = os.path.join(out_root, "ABC") + "/"
+    cfg["output"]["log_dir"] = os.path.join(out_root, "logs") + "/"
+    path = os.path.join(out_root, "ttc_config.json")
+    os.makedirs(out_root, exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(cfg, f, indent=1)
+    return path
+
+
+def run_dir(out_root: str) -> str:
+    return os.path.join(out_root, "ABC", "release_DexiNed", SCAN)
+
+
+def stage_train(args) -> int:
+    cfg_path = derive_config(args.config, args.out_root, args.interval)
+    from edgegaussians_tpu.cli import train as train_cli
+    t0 = time.time()
+    rc = train_cli.main(["--config_file", cfg_path, "--scene_name", SCAN,
+                         "--force_rerun"])
+    with open(os.path.join(args.out_root, "t_start.txt"), "w") as f:
+        f.write(str(t0))
+    return rc
+
+
+def checkpoints(out_root: str):
+    d = run_dir(out_root)
+    eps = {}
+    for name in os.listdir(d):
+        m = re.fullmatch(r"epoch(\d+)\.npz", name)
+        if m:
+            eps[int(m.group(1))] = os.path.join(d, name)
+    return dict(sorted(eps.items()))
+
+
+def stage_eval(args) -> int:
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from edgegaussians_tpu.cli.evaluate import evaluate_scan
+    from edgegaussians_tpu.config import load_config
+    from edgegaussians_tpu.data import parsers, seed_points as seeds_mod
+    from edgegaussians_tpu.eval import metrics as metrics_mod
+    from edgegaussians_tpu.extract.pipeline import extract_edges
+    from edgegaussians_tpu.models.gaussians import export_as_ply
+    from edgegaussians_tpu.train import trainer
+
+    cfg_path = os.path.join(args.out_root, "ttc_config.json")
+    cfg = load_config(cfg_path)
+    with open(os.path.join(args.out_root, "t_start.txt")) as f:
+        t0 = float(f.read())
+
+    # identical seed-point draw as cli.train (same RNG stream) so the
+    # checkpoint template has matching shapes
+    rng = np.random.default_rng(cfg.training.seed)
+    seed_pts = seeds_mod.init_seed_points_random(
+        cfg.model.init_min_num_gaussians,
+        cfg.model.random_init_box_center,
+        cfg.model.random_init_box_size, rng)
+    template = trainer.init_train_state(seed_pts, cfg)
+
+    scene = None
+    if cfg.filtering.filter_by_projection:
+        scene = parsers.load_scene(cfg.data, SCAN)
+
+    rows = []
+    for epoch, ckpt in checkpoints(args.out_root).items():
+        wall = os.path.getmtime(ckpt) - t0
+        ts = trainer.load_checkpoint(ckpt, template)
+        ep_dir = os.path.join(args.out_root, "eval", f"ep{epoch:04d}", SCAN)
+        os.makedirs(ep_dir, exist_ok=True)
+        ply = os.path.join(ep_dir, "gaussians_all.ply")
+        n_alive = export_as_ply(ts.gaussians, ply)
+
+        per_seed = []
+        for seed in range(args.seeds):
+            extract_edges(ply, cfg, scene=scene, output_dir=ep_dir,
+                          save_sampled_points=True,
+                          sample_resolution=0.005, seed=seed)
+            pr = metrics_mod.empty_metrics()
+            res = evaluate_scan(SCAN, GT_BASE, os.path.dirname(ep_dir), pr,
+                                use_parametric_edges=True,
+                                sample_resolution=0.005)
+            if res is None:
+                continue
+            per_seed.append({
+                "chamfer": res["chamfer_dist"],
+                "f10": metrics_mod.f_score(np.mean(pr["precision_0.01"]),
+                                           np.mean(pr["recall_0.01"])),
+                "f5": metrics_mod.f_score(np.mean(pr["precision_0.005"]),
+                                          np.mean(pr["recall_0.005"])),
+                "f20": metrics_mod.f_score(np.mean(pr["precision_0.02"]),
+                                           np.mean(pr["recall_0.02"])),
+            })
+        if not per_seed:
+            print(f"epoch {epoch}: extraction produced no edges")
+            continue
+        row = {
+            "epoch": epoch, "wall_s": round(wall, 1), "alive": n_alive,
+            "chamfer": float(np.mean([s["chamfer"] for s in per_seed])),
+            "f5": float(np.mean([s["f5"] for s in per_seed])),
+            "f10": float(np.mean([s["f10"] for s in per_seed])),
+            "f10_min": float(np.min([s["f10"] for s in per_seed])),
+            "f20": float(np.mean([s["f20"] for s in per_seed])),
+        }
+        rows.append(row)
+        print(f"epoch {row['epoch']:4d}  wall {row['wall_s']:7.1f}s  "
+              f"alive {row['alive']:6d}  chamfer {row['chamfer']:.4f}  "
+              f"F@5 {row['f5']:.3f}  F@10 {row['f10']:.3f} "
+              f"(min {row['f10_min']:.3f})  F@20 {row['f20']:.3f}")
+
+    out = os.path.join(args.out_root, "ttc_results.json")
+    with open(out, "w") as f:
+        json.dump(rows, f, indent=1)
+    print(f"wrote {out}")
+    return 0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stage", choices=["train", "eval"], required=True)
+    ap.add_argument("--config", default="configs/ABC_DexiNed.json")
+    ap.add_argument("--out_root", default="/tmp/ttc")
+    ap.add_argument("--interval", type=int, default=25)
+    ap.add_argument("--seeds", type=int, default=3,
+                    help="extraction seeds per checkpoint (averages out "
+                         "clustering stochasticity — README.md:84)")
+    args = ap.parse_args()
+    if args.stage == "train":
+        return stage_train(args)
+    return stage_eval(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
