@@ -1,30 +1,79 @@
 """Benchmark: differentiable edge-splat rasterization throughput on TPU.
 
 Measures the full training hot path — forward render + backward to all four
-Gaussian parameter groups — on the ABC-NEF workload shape (800x800 px,
-~20k Gaussians; BASELINE.md / configs/ABC_DexiNed.json) and prints ONE JSON
-line.
+Gaussian parameter groups — and prints ONE JSON line.
 
-``vs_baseline`` is measured against REF_PX_S = 15 Mpx/s, an estimate of the
-reference gsplat CUDA pipeline's fwd+bwd throughput on its published
-consumer-GPU environment (the repo itself commits no numbers — BASELINE.md).
+Default workload: the REAL ABC-NEF headline scene (BASELINE.md) — the
+trained 12740-Gaussian model of scan 00004926 (shipped ABC_DexiNed config,
+400 epochs) rendered with the scan's own cameras at 800x800, bundled as
+``bench_fixture/abc_00004926.npz`` so the bench is self-contained. This is
+the distribution the reference gsplat pipeline runs on, so ``vs_baseline``
+against REF_PX_S = 15 Mpx/s (an estimate of the reference's fwd+bwd
+throughput on its published consumer-GPU environment; the repo itself
+commits no numbers) is like-for-like.
+
+``--synthetic`` (or a missing fixture) instead benches a uniform 20k-Gaussian
+cloud — a much denser stress shape (~180 entries/tile vs ~10 for the real
+scene), kept for kernel regression tracking.
 """
 
+import argparse
 import json
+import os
 import time
 
 import numpy as np
 
 REF_PX_S = 15e6
-N_GAUSSIANS = 20000
-WIDTH = HEIGHT = 800
-TILE_SIZE = 16
-CAPACITY = 512
-DENSE_CAPACITY = 128
 ITERS = 20
+
+FIXTURE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "bench_fixture", "abc_00004926.npz")
+
+# shipped ABC_DexiNed tile geometry (configs/ABC_DexiNed.json)
+ABC_TILES = dict(tile_size=16, capacity=768, dense_capacity=128,
+                 overflow_tiles=128, max_tiles_per_gaussian=16)
+SYN_TILES = dict(tile_size=16, capacity=512, dense_capacity=128)
+
+
+def synthetic_scene():
+    import jax.numpy as jnp
+    n, width, height = 20000, 800, 800
+    r = np.random.default_rng(0)
+    means = r.uniform(-0.5, 0.5, (n, 3)).astype(np.float32)
+    means[:, 2] += 2.0
+    quats = r.normal(size=(n, 4)).astype(np.float32)
+    scales = np.exp(r.uniform(np.log(0.003), np.log(0.03),
+                              (n, 3))).astype(np.float32)
+    opac = r.uniform(0.2, 0.95, n).astype(np.float32)
+    f = 1111.0
+    K = np.array([[f, 0, width / 2], [0, f, height / 2], [0, 0, 1]],
+                 np.float32)
+    viewmats = np.eye(4, dtype=np.float32)[None]
+    return (jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+            jnp.asarray(opac), jnp.asarray(viewmats),
+            jnp.asarray(K[None]), width, height, SYN_TILES,
+            "edge_splat_px_per_s_fwd_bwd_synthetic")
+
+
+def fixture_scene():
+    import jax.numpy as jnp
+    d = np.load(FIXTURE)
+    return (jnp.asarray(d["means"]), jnp.asarray(d["quats"]),
+            jnp.asarray(d["scales"]),
+            jnp.asarray(d["opacities"]).reshape(-1),
+            jnp.asarray(d["viewmats"]), jnp.asarray(d["Ks"]),
+            int(d["width"]), int(d["height"]), ABC_TILES,
+            "edge_splat_px_per_s_fwd_bwd")
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--synthetic", action="store_true",
+                    help="bench the dense synthetic cloud instead of the "
+                         "trained ABC scene")
+    args = ap.parse_args()
+
     import jax
 
     from edgegaussians_tpu.utils.cache import enable_compilation_cache
@@ -35,43 +84,33 @@ def main():
 
     backend = "pallas" if jax.default_backend() == "tpu" else "jax"
 
-    r = np.random.default_rng(0)
-    means = jnp.asarray(r.uniform(-0.5, 0.5, (N_GAUSSIANS, 3)),
-                        jnp.float32) + jnp.array([0, 0, 2.0])
-    quats = jnp.asarray(r.normal(size=(N_GAUSSIANS, 4)), jnp.float32)
-    scales = jnp.asarray(
-        np.exp(r.uniform(np.log(0.003), np.log(0.03), (N_GAUSSIANS, 3))),
-        jnp.float32)
-    opac = jnp.asarray(r.uniform(0.2, 0.95, N_GAUSSIANS), jnp.float32)
-    f = 1111.0
-    K = jnp.array([[f, 0, WIDTH / 2], [0, f, HEIGHT / 2], [0, 0, 1]],
-                  jnp.float32)
-    viewmat = jnp.eye(4, dtype=jnp.float32)
-    target = jnp.zeros((HEIGHT, WIDTH), jnp.float32)
+    use_synthetic = args.synthetic or not os.path.exists(FIXTURE)
+    (means, quats, scales, opac, viewmats, Ks, width, height, tiles,
+     metric) = synthetic_scene() if use_synthetic else fixture_scene()
+    target = jnp.zeros((height, width), jnp.float32)
 
-    def loss_fn(m, q, s, o):
-        out = rasterize(m, q, s, o, viewmat, K, WIDTH, HEIGHT,
-                        tile_size=TILE_SIZE, capacity=CAPACITY,
-                        dense_capacity=DENSE_CAPACITY, backend=backend)
+    def loss_fn(m, q, s, o, viewmat, K):
+        out = rasterize(m, q, s, o, viewmat, K, width, height,
+                        backend=backend, **tiles)
         return jnp.mean(jnp.abs(jnp.clip(out.image, 0, 1) - target))
 
     step = jax.jit(jax.value_and_grad(loss_fn, argnums=(0, 1, 2, 3)))
-    out = step(means, quats, scales, opac)
-    jax.block_until_ready(out)
+    n_views = viewmats.shape[0]
+    for v in range(n_views):                      # compile + warm every view
+        jax.block_until_ready(step(means, quats, scales, opac,
+                                   viewmats[v], Ks[v]))
 
     t0 = time.time()
-    for _ in range(ITERS):
-        out = step(means, quats, scales, opac)
+    for i in range(ITERS):
+        out = step(means, quats, scales, opac,
+                   viewmats[i % n_views], Ks[i % n_views])
     jax.block_until_ready(out)
     dt = (time.time() - t0) / ITERS
 
-    px_s = WIDTH * HEIGHT / dt
-    print(json.dumps({
-        "metric": "edge_splat_px_per_s_fwd_bwd",
-        "value": round(px_s, 1),
-        "unit": "px/s/chip",
-        "vs_baseline": round(px_s / REF_PX_S, 3),
-    }))
+    px_s = width * height / dt
+    print(json.dumps({"metric": metric, "value": round(px_s, 1),
+                      "unit": "px/s/chip",
+                      "vs_baseline": round(px_s / REF_PX_S, 3)}))
 
 
 if __name__ == "__main__":

@@ -310,3 +310,29 @@ def test_colmap_parser_train_cli(tmp_path):
     assert rc == 0
     assert (tmp_path / "out" / "t_DexiNed" / "SCENEC"
             / "gaussians_all.ply").exists()
+
+
+def test_bench_fixture_traces():
+    """The committed real-workload bench fixture loads and its fwd+bwd
+    program traces (bench.py's default mode)."""
+    import jax
+    import jax.numpy as jnp
+
+    import bench
+    from edgegaussians_tpu.ops.rasterize import rasterize
+
+    (means, quats, scales, opac, viewmats, Ks, w, h, tiles,
+     metric) = bench.fixture_scene()
+    assert metric == "edge_splat_px_per_s_fwd_bwd"
+    assert means.shape[0] == quats.shape[0] == scales.shape[0] \
+        == opac.shape[0]
+    assert opac.ndim == 1 and viewmats.shape[1:] == (4, 4)
+
+    def loss_fn(m, q, s, o):
+        out = rasterize(m, q, s, o, viewmats[0], Ks[0], w, h,
+                        backend="jax", **tiles)
+        return jnp.mean(out.image)
+
+    g = jax.eval_shape(jax.value_and_grad(loss_fn, argnums=(0, 1, 2, 3)),
+                       means, quats, scales, opac)
+    assert g[1][0].shape == means.shape
