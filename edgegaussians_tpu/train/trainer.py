@@ -72,7 +72,27 @@ def _strategy_index(name: str) -> int:
 _PROGRAM_MEMO: dict = {}
 
 
-def _cfg_memo_key(cfg: FrameworkConfig) -> str:
+# Density-control fields are consumed only by the density program (its
+# dispatch schedule is host-side — density_flags); the epoch program never
+# reads them, so they are excluded from its memo key and a strategy sweep
+# reuses the (expensive, ~25 MB) epoch executable. If make_epoch_fn ever
+# starts reading one of these, remove it from this list.
+_DENSITY_ONLY_MODEL_FIELDS = (
+    "if_duplicate_high_pos_grad", "dup_threshold_type",
+    "dup_threshold_value", "dup_factor", "dup_high_pos_grads_at_epoch",
+    "if_cull_low_opacity", "cull_opacity_type", "cull_opacity_value",
+    "cull_opacity_at_epoch", "if_cull_wayward", "cull_wayward_method",
+    "cull_wayward_num_neighbors", "cull_wayward_threshold_type",
+    "cull_wayward_threshold_value", "cull_wayward_at_epoch",
+    "cull_wayward_apply", "if_cull_gaussians_not_projecting",
+    "cull_gaussians_not_projecting_threshold",
+    "cull_gaussians_not_projecting_at_epoch", "if_reset_opacity",
+    "reset_opacity_value", "reset_opacity_at_epoch",
+    "init_dup_rand_noise_scale",
+)
+
+
+def _cfg_memo_key(cfg: FrameworkConfig, program: str = "epoch") -> str:
     import dataclasses
     import json
     d = dataclasses.asdict(cfg)
@@ -81,13 +101,19 @@ def _cfg_memo_key(cfg: FrameworkConfig) -> str:
     # them lets multi-seed spread sweeps share compiled programs.
     d["training"].pop("seed", None)
     d.pop("output", None)
+    if program == "epoch":
+        for f in _DENSITY_ONLY_MODEL_FIELDS:
+            d["model"].pop(f, None)
+    elif program == "density":
+        # the density program reads only the model section
+        d = {"model": d["model"]}
     return json.dumps(d, sort_keys=True, default=str)
 
 
 def make_epoch_fn(cfg: FrameworkConfig, width: int, height: int,
                   backend: str):
     """Build (or reuse) the jitted epoch function for a scene geometry."""
-    memo_key = ("epoch", _cfg_memo_key(cfg), width, height, backend)
+    memo_key = ("epoch", _cfg_memo_key(cfg, "epoch"), width, height, backend)
     if memo_key in _PROGRAM_MEMO:
         return _PROGRAM_MEMO[memo_key]
     mcfg = cfg.model
@@ -282,7 +308,7 @@ def make_density_fn(cfg: FrameworkConfig):
     lazily at their first event epoch instead of one 30 MB monster at the
     first event.
     """
-    memo_key = ("density", _cfg_memo_key(cfg))
+    memo_key = ("density", _cfg_memo_key(cfg, "density"))
     if memo_key in _PROGRAM_MEMO:
         return _PROGRAM_MEMO[memo_key]
     mcfg = cfg.model

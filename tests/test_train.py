@@ -215,3 +215,29 @@ def test_program_memo_reuses_epoch_fn():
     cfg2 = copy.deepcopy(cfg)
     cfg2.model.tile_size = 8
     assert trainer.make_epoch_fn(cfg2, 64, 48, "jax") is not f1
+
+    # runtime-only knobs (RNG seed, output paths) never reach a program
+    cfg3 = copy.deepcopy(cfg)
+    cfg3.training.seed = 123
+    cfg3.output.output_dir = "/elsewhere/"
+    assert trainer.make_epoch_fn(cfg3, 64, 48, "jax") is f1
+    assert trainer.make_density_fn(cfg3) is d1
+
+    # density-only fields don't invalidate the epoch program (strategy
+    # sweeps reuse the expensive epoch executable) but do rebuild the
+    # density program; optimizer changes do the opposite
+    cfg4 = copy.deepcopy(cfg)
+    cfg4.model.dup_threshold_type = "top_fraction"
+    cfg4.model.dup_threshold_value = 0.2
+    assert trainer.make_epoch_fn(cfg4, 64, 48, "jax") is f1
+    assert trainer.make_density_fn(cfg4) is not d1
+
+    cfg5 = copy.deepcopy(cfg)
+    cfg5.training.optim.means.start_lr = 1e-2
+    assert trainer.make_epoch_fn(cfg5, 64, 48, "jax") is not f1
+    assert trainer.make_density_fn(cfg5) is d1
+
+    # num_epochs IS read by the epoch program (annealing denominators)
+    cfg6 = copy.deepcopy(cfg)
+    cfg6.training.num_epochs = cfg.training.num_epochs + 7
+    assert trainer.make_epoch_fn(cfg6, 64, 48, "jax") is not f1
