@@ -14,7 +14,10 @@ commits no numbers) is like-for-like.
 
 ``--synthetic`` (or a missing fixture) instead benches a uniform 20k-Gaussian
 cloud — a much denser stress shape (~180 entries/tile vs ~10 for the real
-scene), kept for kernel regression tracking.
+scene), kept for kernel regression tracking. History note: values recorded
+before 2026-08-19 under the unsuffixed metric name were measured on this
+synthetic shape (~41 Mpx/s series in docs/RESULTS.md); the real-workload
+series starts at 70.0 Mpx/s.
 """
 
 import argparse

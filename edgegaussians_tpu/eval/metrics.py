@@ -63,6 +63,8 @@ def compute_precision_recall_IOU(pred_sampled: np.ndarray,
 
 
 def f_score(precision: float, recall: float) -> float:
+    if precision + recall == 0:        # e.g. a barely-trained checkpoint
+        return 0.0
     return 2 * precision * recall / (precision + recall)
 
 

@@ -16,15 +16,11 @@ TPU env required for the training half; extraction/eval run on CPU.
 import argparse
 import json
 import os
-import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
-
-SCAN = "00004926"
-GT_BASE = "data/ABC-NEF_Edge/groundtruth"
+from _common import SCAN, extract_and_eval
 
 
 def train_one(cfg, seed, out_dir):
@@ -49,38 +45,7 @@ def train_one(cfg, seed, out_dir):
     ply = os.path.join(out_dir, "gaussians_all.ply")
     n = export_as_ply(ts.gaussians, ply)
     print(f"  trained seed={seed}: {wall:.1f}s, {n} Gaussians", flush=True)
-    return ply, n, wall
-
-
-def eval_one(cfg, ply, out_dir, extraction_seeds=3):
-    from edgegaussians_tpu.cli.evaluate import evaluate_scan
-    from edgegaussians_tpu.data import parsers
-    from edgegaussians_tpu.eval import metrics as metrics_mod
-    from edgegaussians_tpu.extract.pipeline import extract_edges
-
-    scene = None
-    if cfg.filtering.filter_by_projection:
-        if not hasattr(eval_one, "_scene"):
-            eval_one._scene = parsers.load_scene(cfg.data, SCAN)
-        scene = eval_one._scene
-
-    scan_dir = os.path.join(out_dir, SCAN)
-    os.makedirs(scan_dir, exist_ok=True)
-    ch, f10 = [], []
-    for es in range(extraction_seeds):
-        extract_edges(ply, cfg, scene=scene, output_dir=scan_dir,
-                      save_sampled_points=True, sample_resolution=0.005,
-                      seed=es)
-        pr = metrics_mod.empty_metrics()
-        res = evaluate_scan(SCAN, GT_BASE, out_dir, pr,
-                            use_parametric_edges=True,
-                            sample_resolution=0.005)
-        if res is None:
-            continue
-        ch.append(res["chamfer_dist"])
-        f10.append(metrics_mod.f_score(np.mean(pr["precision_0.01"]),
-                                       np.mean(pr["recall_0.01"])))
-    return float(np.mean(ch)), float(np.mean(f10))
+    return ply, n, wall, scene
 
 
 def main():
@@ -106,9 +71,11 @@ def main():
             setattr(cfg.model, k, v)
         rows = []
         for seed in range(args.seeds):
-            out_dir = os.path.join(args.out_root, arm, f"seed{seed}")
-            ply, n, wall = train_one(cfg, seed, out_dir)
-            chamfer, f10 = eval_one(cfg, ply, out_dir)
+            out_dir = os.path.join(args.out_root, arm, f"seed{seed}", SCAN)
+            ply, n, wall, scene = train_one(cfg, seed, out_dir)
+            m = extract_and_eval(ply, cfg, out_dir, scene=scene)
+            chamfer = float(np.mean(m["chamfer"]))
+            f10 = float(np.mean(m["f10"]))
             rows.append({"seed": seed, "gaussians": n, "wall_s": wall,
                          "chamfer": chamfer, "f10": f10})
             print(f"  seed={seed} gaussians={n} chamfer={chamfer:.4f} "

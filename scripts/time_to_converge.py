@@ -7,26 +7,22 @@ measures where quality actually saturates: train the shipped config once
 with periodic checkpoints, then run the full extraction + eval pipeline on
 every checkpoint and print quality-vs-wall-clock.
 
-Stage `train` needs the TPU env (JAX_PLATFORMS=axon); stage `eval` is
-CPU/NumPy. Example:
+Stage `train` needs the TPU env; stage `eval` is CPU/NumPy. Example:
 
     python scripts/time_to_converge.py --stage train
     python scripts/time_to_converge.py --stage eval --seeds 3
 """
 
 import argparse
+import glob
 import json
 import os
 import re
-import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
-
-SCAN = "00004926"
-GT_BASE = "data/ABC-NEF_Edge/groundtruth"
+from _common import SCAN, extract_and_eval, scene_run_dir
 
 
 def derive_config(base_config: str, out_root: str, interval: int) -> str:
@@ -42,13 +38,16 @@ def derive_config(base_config: str, out_root: str, interval: int) -> str:
     return path
 
 
-def run_dir(out_root: str) -> str:
-    return os.path.join(out_root, "ABC", "release_DexiNed", SCAN)
-
-
 def stage_train(args) -> int:
     cfg_path = derive_config(args.config, args.out_root, args.interval)
     from edgegaussians_tpu.cli import train as train_cli
+    from edgegaussians_tpu.config import load_config
+    # a stale run's epochN.npz would make save_checkpoint fall back to
+    # timestamped names that stage_eval ignores (and mtime-based wall
+    # times would mix runs) — start clean
+    run_dir = scene_run_dir(load_config(cfg_path), args.out_root)
+    for old in glob.glob(os.path.join(run_dir, "epoch*.npz")):
+        os.remove(old)
     t0 = time.time()
     rc = train_cli.main(["--config_file", cfg_path, "--scene_name", SCAN,
                          "--force_rerun"])
@@ -57,24 +56,20 @@ def stage_train(args) -> int:
     return rc
 
 
-def checkpoints(out_root: str):
-    d = run_dir(out_root)
+def checkpoints(run_dir: str):
     eps = {}
-    for name in os.listdir(d):
+    for name in os.listdir(run_dir):
         m = re.fullmatch(r"epoch(\d+)\.npz", name)
         if m:
-            eps[int(m.group(1))] = os.path.join(d, name)
+            eps[int(m.group(1))] = os.path.join(run_dir, name)
     return dict(sorted(eps.items()))
 
 
 def stage_eval(args) -> int:
     import jax
     jax.config.update("jax_platforms", "cpu")
-    from edgegaussians_tpu.cli.evaluate import evaluate_scan
     from edgegaussians_tpu.config import load_config
     from edgegaussians_tpu.data import parsers, seed_points as seeds_mod
-    from edgegaussians_tpu.eval import metrics as metrics_mod
-    from edgegaussians_tpu.extract.pipeline import extract_edges
     from edgegaussians_tpu.models.gaussians import export_as_ply
     from edgegaussians_tpu.train import trainer
 
@@ -97,7 +92,7 @@ def stage_eval(args) -> int:
         scene = parsers.load_scene(cfg.data, SCAN)
 
     rows = []
-    for epoch, ckpt in checkpoints(args.out_root).items():
+    for epoch, ckpt in checkpoints(scene_run_dir(cfg, args.out_root)).items():
         wall = os.path.getmtime(ckpt) - t0
         ts = trainer.load_checkpoint(ckpt, template)
         ep_dir = os.path.join(args.out_root, "eval", f"ep{epoch:04d}", SCAN)
@@ -105,36 +100,18 @@ def stage_eval(args) -> int:
         ply = os.path.join(ep_dir, "gaussians_all.ply")
         n_alive = export_as_ply(ts.gaussians, ply)
 
-        per_seed = []
-        for seed in range(args.seeds):
-            extract_edges(ply, cfg, scene=scene, output_dir=ep_dir,
-                          save_sampled_points=True,
-                          sample_resolution=0.005, seed=seed)
-            pr = metrics_mod.empty_metrics()
-            res = evaluate_scan(SCAN, GT_BASE, os.path.dirname(ep_dir), pr,
-                                use_parametric_edges=True,
-                                sample_resolution=0.005)
-            if res is None:
-                continue
-            per_seed.append({
-                "chamfer": res["chamfer_dist"],
-                "f10": metrics_mod.f_score(np.mean(pr["precision_0.01"]),
-                                           np.mean(pr["recall_0.01"])),
-                "f5": metrics_mod.f_score(np.mean(pr["precision_0.005"]),
-                                          np.mean(pr["recall_0.005"])),
-                "f20": metrics_mod.f_score(np.mean(pr["precision_0.02"]),
-                                           np.mean(pr["recall_0.02"])),
-            })
-        if not per_seed:
+        m = extract_and_eval(ply, cfg, ep_dir, scene=scene,
+                             extraction_seeds=args.seeds)
+        if not m["chamfer"]:
             print(f"epoch {epoch}: extraction produced no edges")
             continue
         row = {
             "epoch": epoch, "wall_s": round(wall, 1), "alive": n_alive,
-            "chamfer": float(np.mean([s["chamfer"] for s in per_seed])),
-            "f5": float(np.mean([s["f5"] for s in per_seed])),
-            "f10": float(np.mean([s["f10"] for s in per_seed])),
-            "f10_min": float(np.min([s["f10"] for s in per_seed])),
-            "f20": float(np.mean([s["f20"] for s in per_seed])),
+            "chamfer": float(np.mean(m["chamfer"])),
+            "f5": float(np.mean(m["f5"])),
+            "f10": float(np.mean(m["f10"])),
+            "f10_min": float(np.min(m["f10"])),
+            "f20": float(np.mean(m["f20"])),
         }
         rows.append(row)
         print(f"epoch {row['epoch']:4d}  wall {row['wall_s']:7.1f}s  "
