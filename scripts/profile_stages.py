@@ -4,12 +4,14 @@ Times (jitted, steady-state) each pipeline stage of one fwd+bwd render on
 the bench workload shape, so kernel work targets the real bottleneck.
 
 Usage: python scripts/profile_stages.py [n_gaussians] [k1] [t2]
+       python scripts/profile_stages.py --fixture    # real ABC workload
 """
 
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -23,6 +25,9 @@ from edgegaussians_tpu.ops.tiles import (bin_gaussians_two_level,
                                          build_tile_features, pixel_basis,
                                          tile_origins)
 
+FIXTURE = "--fixture" in sys.argv
+if FIXTURE:
+    sys.argv.remove("--fixture")
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
 K1 = int(sys.argv[2]) if len(sys.argv) > 2 else 128
 T2 = int(sys.argv[3]) if len(sys.argv) > 3 else 0
@@ -30,6 +35,8 @@ WIDTH = HEIGHT = 800
 TILE = 16
 CAP = 512
 M = 64
+if FIXTURE:  # shipped ABC_DexiNed geometry on the trained bench fixture
+    CAP, K1, T2, M = 768, 128, 128, 16
 BACKEND = "pallas" if jax.default_backend() == "tpu" else "jax"
 
 
@@ -46,17 +53,31 @@ def timed(fn, *args, iters=20, label=""):
 
 
 def main():
+    global N
     r = np.random.default_rng(0)
-    means = jnp.asarray(r.uniform(-0.5, 0.5, (N, 3)), jnp.float32) \
-        + jnp.array([0, 0, 2.0])
-    quats = jnp.asarray(r.normal(size=(N, 4)), jnp.float32)
-    scales = jnp.asarray(
-        np.exp(r.uniform(np.log(0.003), np.log(0.03), (N, 3))), jnp.float32)
-    opac = jnp.asarray(r.uniform(0.2, 0.95, N), jnp.float32)
-    f = 1111.0
-    K = jnp.array([[f, 0, WIDTH / 2], [0, f, HEIGHT / 2], [0, 0, 1]],
-                  jnp.float32)
-    viewmat = jnp.eye(4, dtype=jnp.float32)
+    if FIXTURE:
+        d = np.load(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "bench_fixture",
+            "abc_00004926.npz"))
+        means = jnp.asarray(d["means"])
+        quats = jnp.asarray(d["quats"])
+        scales = jnp.asarray(d["scales"])
+        opac = jnp.asarray(d["opacities"]).reshape(-1)
+        K = jnp.asarray(d["Ks"][0])
+        viewmat = jnp.asarray(d["viewmats"][0])
+        N = means.shape[0]
+    else:
+        means = jnp.asarray(r.uniform(-0.5, 0.5, (N, 3)), jnp.float32) \
+            + jnp.array([0, 0, 2.0])
+        quats = jnp.asarray(r.normal(size=(N, 4)), jnp.float32)
+        scales = jnp.asarray(
+            np.exp(r.uniform(np.log(0.003), np.log(0.03), (N, 3))),
+            jnp.float32)
+        opac = jnp.asarray(r.uniform(0.2, 0.95, N), jnp.float32)
+        f = 1111.0
+        K = jnp.array([[f, 0, WIDTH / 2], [0, f, HEIGHT / 2], [0, 0, 1]],
+                      jnp.float32)
+        viewmat = jnp.eye(4, dtype=jnp.float32)
     target = jnp.zeros((HEIGHT, WIDTH), jnp.float32)
     num_tiles = tiles_mod.tile_grid(WIDTH, HEIGHT, TILE)[2]
     t2 = T2 or max(num_tiles // 4, 8)
