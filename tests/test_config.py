@@ -48,3 +48,37 @@ def test_resolve_capacity():
     assert resolve_capacity(cfg, 2500) == 16384    # next pow2 >= 4x seeds
     cfg.max_num_gaussians = 999
     assert resolve_capacity(cfg, 10) == 999
+
+
+def test_fast_config_variant():
+    """configs/ABC_DexiNed_fast.json = shipped config with exactly the
+    advertised speed knobs changed (and its own output exp_name)."""
+    import json
+
+    with open("configs/ABC_DexiNed.json") as f:
+        base = json.load(f)
+    with open("configs/ABC_DexiNed_fast.json") as f:
+        fast = json.load(f)
+
+    assert fast["training"]["num_epochs"] == 300
+    assert fast["model"]["dup_threshold_type"] == "top_fraction"
+    assert fast["model"]["dup_threshold_value"] == 0.2
+    assert fast["output"]["exp_name"] != base["output"]["exp_name"]
+
+    changed = set()
+    for section in base:
+        if not isinstance(base[section], dict):
+            if fast.get(section) != base[section]:
+                changed.add((section, ""))
+            continue
+        for k in base[section]:
+            if fast.get(section, {}).get(k) != base[section][k]:
+                changed.add((section, k))
+    assert changed == {("training", "num_epochs"),
+                       ("model", "dup_threshold_type"),
+                       ("model", "dup_threshold_value"),
+                       ("output", "exp_name")}, changed
+
+    from edgegaussians_tpu.config import load_config
+    cfg = load_config("configs/ABC_DexiNed_fast.json")
+    assert cfg.model.dup_threshold_type == "top_fraction"
