@@ -116,6 +116,13 @@ class ModelConfig:
     # exceed 4 (needles) — RenderResult.num_truncated / the trainer's
     # 'trunc=' log shows violations.
     max_tiles_per_gaussian: int = 64
+    # Sorted-pair-prefix budget (0 disables): renders gather/scatter only
+    # this many (tile, Gaussian) pairs instead of every dense frame slot —
+    # ~8x fewer rows on sparse edge scenes. Must cover the peak per-view
+    # pair count (the trainer's 'pairs=' log / RenderResult.num_pairs);
+    # pairs past it are dropped from the render like tiles past the
+    # overflow budget.
+    tile_pair_budget: int = 0
     # Rasterizer tile size in pixels (reference BLOCK_WIDTH=16, edge_gs.py:233).
     tile_size: int = 16
     # 'pallas' on TPU, 'jax' pure-XLA fallback, 'reference' per-pixel oracle.

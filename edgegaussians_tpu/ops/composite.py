@@ -239,19 +239,53 @@ def _composite_jax_seg(feats, basis, t_in, chunk: int = 64):
     return img.reshape(-1, p)[:T], tout.reshape(-1, p)[:T]
 
 
-def _two_level_fwd_impl(packed_sorted, bins2, origins, basis, backend: str):
+def _gather_frame(packed_sorted, bins2, k1: int, k2: int):
+    """Build the dense [T,k1,8] + [t2,k2,8] frame from packed rows.
+
+    Plain mode gathers every frame slot through the decoded rank tables.
+    Pair-prefix mode (KERNELS.md §5.2) instead gathers only the B real
+    pairs and scatters them to their frame rows (unique by construction);
+    un-hit slots stay all-zero, whose packed validity column 6 is 0, so
+    build_tile_features forces their alpha to exactly 0 — identical
+    downstream semantics with ~8x fewer rows touched on real edge scenes.
+    """
+    T = bins2.counts.shape[0]
+    t2 = bins2.ovf_ids.shape[0]
+    if bins2.pair_rows is not None:
+        n = packed_sorted.shape[0]
+        rows = T * k1 + t2 * k2
+        src = packed_sorted[jnp.clip(bins2.pair_ranks, 0, n - 1)]  # [B,8]
+        frame = jnp.zeros((rows, packed_sorted.shape[1]),
+                          packed_sorted.dtype).at[bins2.pair_rows].set(
+            src, mode="drop", unique_indices=True)
+        g1 = frame[:T * k1].reshape(T, k1, -1)
+        g2 = frame[T * k1:].reshape(t2, k2, -1)
+        return g1, g2
+    return packed_sorted[bins2.ranks1], packed_sorted[bins2.ranks2]
+
+
+def _frame_shape(bins2, k1: int, k2: int):
+    if bins2.pair_rows is not None:
+        if not (k1 > 0 and k2 > 0):
+            raise ValueError("pair-prefix bins need static k1/k2 at the "
+                             "render call")
+        return k1, k2
+    return bins2.ranks1.shape[1], bins2.ranks2.shape[1]
+
+
+def _two_level_fwd_impl(packed_sorted, bins2, origins, basis, backend: str,
+                        k1: int = 0, k2: int = 0):
     """Forward pass; returns (images, residuals-for-bwd)."""
-    T, k1 = bins2.ranks1.shape
-    t2, k2 = bins2.ranks2.shape
+    k1, k2 = _frame_shape(bins2, k1, k2)
     ovf_ids = bins2.ovf_ids
     counts1, counts2 = bins2.counts1, bins2.counts2
+    T = counts1.shape[0]
 
-    g1 = packed_sorted[bins2.ranks1]                          # [T,k1,8]
+    g1, g2 = _gather_frame(packed_sorted, bins2, k1, k2)
     kk1 = jnp.arange(k1, dtype=jnp.int32)[None, :]
     validf1 = (kk1 < counts1[:, None]).astype(jnp.float32)
     feats1 = build_tile_features(g1, origins, validf1)
 
-    g2 = packed_sorted[bins2.ranks2]                          # [t2,k2,8]
     kk2 = jnp.arange(k2, dtype=jnp.int32)[None, :]
     validf2 = (kk2 < counts2[:, None]).astype(jnp.float32)
     feats2 = build_tile_features(g2, origins[ovf_ids], validf2)
@@ -272,30 +306,33 @@ def _two_level_fwd_impl(packed_sorted, bins2, origins, basis, backend: str):
     return images, res
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
 def tile_render_two_level(packed_sorted, bins2, origins, basis,
-                          order, sink, backend: str = "jax"):
+                          order, sink, backend: str = "jax",
+                          k1: int = 0, k2: int = 0):
     """Two-level tile rendering: [N,8] packed rows -> [T,P] intensities.
 
     Args mirror :func:`tile_render` but take pre-decoded two-level bins
     (``TileBinsTwoLevel``): every tile composites its first k1 slots, and
     the ``t2`` busiest tiles composite k2 more (tiles beyond the budget are
     truncated at k1 — monitor RenderResult counts). Gathers touch only
-    T*k1 + t2*k2 rows.
+    T*k1 + t2*k2 rows — or only the pair budget B when ``bins2`` carries
+    pair-prefix tables (then the static k1/k2 are required).
     """
     images, _ = _two_level_fwd_impl(packed_sorted, bins2, origins, basis,
-                                    backend)
+                                    backend, k1, k2)
     return images
 
 
-def _tl_fwd(packed_sorted, bins2, origins, basis, order, sink, backend):
+def _tl_fwd(packed_sorted, bins2, origins, basis, order, sink, backend,
+            k1, k2):
     images, res = _two_level_fwd_impl(packed_sorted, bins2, origins, basis,
-                                      backend)
+                                      backend, k1, k2)
     return images, (packed_sorted.shape[0], bins2, origins, basis,
                     order, res)
 
 
-def _tl_bwd(backend, saved, g):
+def _tl_bwd(backend, k1, k2, saved, g):
     n, bins2, origins, basis, order, res = saved
     (g1, g2, validf1, validf2, img1, tin2, images) = res
     ovf_ids, counts1, counts2 = bins2.ovf_ids, bins2.counts1, bins2.counts2
@@ -319,7 +356,7 @@ def _tl_bwd(backend, saved, g):
         def inner(a1, a2):
             feats1 = build_tile_features(a1, origins, validf1)
             feats2 = build_tile_features(a2, origins[ovf_ids], validf2)
-            T = bins2.ranks1.shape[0]
+            T = bins2.counts1.shape[0]
             ones = jnp.ones((T, basis.shape[1]), jnp.float32)
             i1, tout1 = _composite_jax_seg(feats1, basis, ones)
             i2, _ = _composite_jax_seg(feats2, basis, tout1[ovf_ids])
@@ -332,13 +369,25 @@ def _tl_bwd(backend, saved, g):
     # are per-row-overhead bound on TPU, so riding the |d means2d| columns
     # on the dpacked rows is ~free, and L1/L2 concat halves the row count
     # vs. separate scatters per level and per quantity.
-    c1 = jnp.abs(dg1[..., 3:5]) * validf1[..., None]
-    c2 = jnp.abs(dg2[..., 3:5]) * validf2[..., None]
-    rows = jnp.concatenate([
-        jnp.concatenate([dg1, c1], axis=-1).reshape(-1, 10),
-        jnp.concatenate([dg2, c2], axis=-1).reshape(-1, 10)], axis=0)
-    idx = jnp.concatenate([bins2.ranks1.reshape(-1),
-                           bins2.ranks2.reshape(-1)])
+    if bins2.pair_rows is not None:
+        # pair-prefix reduction: gather the B real pairs' gradient rows out
+        # of the frame and scatter them by depth rank — B rows instead of
+        # T*k1 + t2*k2 (~8x fewer on real edge scenes). Gathered rows are
+        # valid slots by construction, so no validf masking is needed.
+        frame = jnp.concatenate([dg1.reshape(-1, dg1.shape[-1]),
+                                 dg2.reshape(-1, dg2.shape[-1])], axis=0)
+        r_rows = frame.shape[0]
+        rows8 = frame[jnp.clip(bins2.pair_rows, 0, r_rows - 1)]
+        rows = jnp.concatenate([rows8, jnp.abs(rows8[:, 3:5])], axis=-1)
+        idx = jnp.where(bins2.pair_rows < r_rows, bins2.pair_ranks, n)
+    else:
+        c1 = jnp.abs(dg1[..., 3:5]) * validf1[..., None]
+        c2 = jnp.abs(dg2[..., 3:5]) * validf2[..., None]
+        rows = jnp.concatenate([
+            jnp.concatenate([dg1, c1], axis=-1).reshape(-1, 10),
+            jnp.concatenate([dg2, c2], axis=-1).reshape(-1, 10)], axis=0)
+        idx = jnp.concatenate([bins2.ranks1.reshape(-1),
+                               bins2.ranks2.reshape(-1)])
     acc = _scatter_rows(idx, rows, n)
     dpacked = acc[:, :8]
     # absgrad: sorted frame -> original ids (order is a permutation)

@@ -36,6 +36,11 @@ class RenderResult(NamedTuple):
     num_visible: jnp.ndarray    # scalar: Gaussians surviving projection
     num_truncated: jnp.ndarray  # scalar: Gaussians whose tile footprint
                                 # exceeded max_tiles_per_gaussian
+    num_pairs: jnp.ndarray = None
+                                # scalar: true (tile, Gaussian) pair count;
+                                # must stay <= pair_budget when that is set
+                                # or renders truncate silently (None when
+                                # the pair-prefix path is off)
 
 
 def rasterize(
@@ -53,6 +58,9 @@ def rasterize(
     max_tiles_per_gaussian: int = 64,
     dense_capacity: int = 0,     # 0 = single-level; else two-level K1
     overflow_tiles: int = 0,     # 0 = auto (T//4); budget of level-2 tiles
+    pair_budget: int = 0,        # 0 = off; else sorted-pair-prefix frame
+                                 # build + backward reduction (two-level
+                                 # only; see KERNELS.md §5.2)
     backend: str = "jax",
     antialiased: bool = True,
     near_plane: float = 0.01,
@@ -77,20 +85,23 @@ def rasterize(
     num_tiles = tiles_mod.tile_grid(width, height, tile_size)[2]
     capacity = min(capacity, n) if n > 0 else capacity
 
+    num_pairs = None
     if 0 < dense_capacity < capacity:
         # two-level: dense K1 everywhere + overflow budget of busy tiles
         t2 = overflow_tiles or max(num_tiles // 4, 8)
         t2 = min(t2, num_tiles)
+        k1, k2 = dense_capacity, capacity - dense_capacity
         bins2 = tiles_mod.bin_gaussians_two_level(
             jax.lax.stop_gradient(proj), width, height, tile_size,
-            dense_capacity, capacity - dense_capacity, t2,
-            max_tiles_per_gaussian=max_tiles_per_gaussian)
+            k1, k2, t2, max_tiles_per_gaussian=max_tiles_per_gaussian,
+            pair_budget=pair_budget)
         packed_sorted = packed[bins2.order]               # [N,8] cheap permute
         tile_imgs = tile_render_two_level(
             packed_sorted, bins2, origins, basis,
-            bins2.order, absgrad_sink, backend)
+            bins2.order, absgrad_sink, backend, k1, k2)
         tile_counts = bins2.counts
         num_truncated = bins2.num_truncated
+        num_pairs = bins2.num_pairs
     else:
         bins = bin_gaussians(jax.lax.stop_gradient(proj), width, height,
                              tile_size, capacity,
@@ -109,4 +120,5 @@ def rasterize(
         image=image,
         tile_counts=tile_counts,
         num_visible=jnp.sum(proj.valid.astype(jnp.int32)),
-        num_truncated=num_truncated)
+        num_truncated=num_truncated,
+        num_pairs=num_pairs)

@@ -62,15 +62,28 @@ class TileBinsTwoLevel(NamedTuple):
     Decoding only T*k1 + t2*k2 entries (instead of T*(k1+k2)) keeps the
     rank-decode gather — the single most expensive binning op on TPU —
     proportional to the work the compositor actually does.
+
+    With a ``pair_budget`` B > 0 the decode is skipped entirely
+    (``ranks1``/``ranks2`` are None) and the renderer works in the
+    *sorted-pair prefix* domain instead: the first B positions of the fused
+    key sort hold every real (tile, rank) pair (invalid keys sort to the
+    tail), so one [B] row gather + one [B] row scatter builds the dense
+    frame, and the backward reduction touches B rows instead of
+    T*k1 + t2*k2. See ``_pair_prefix_tables``.
     """
-    ranks1: jnp.ndarray    # [T,k1] int32 depth ranks (clipped)
+    ranks1: jnp.ndarray    # [T,k1] int32 depth ranks (None in pair mode)
     counts: jnp.ndarray    # [T] int32 true per-tile occupancy
     counts1: jnp.ndarray   # [T] int32 = min(counts, k1)
     ovf_ids: jnp.ndarray   # [t2] int32 busiest-tile indices (top-k counts)
     counts2: jnp.ndarray   # [t2] int32 = clip(counts[ovf] - k1, 0, k2)
-    ranks2: jnp.ndarray    # [t2,k2] int32 depth ranks of overflow slots
+    ranks2: jnp.ndarray    # [t2,k2] int32 depth ranks (None in pair mode)
     order: jnp.ndarray     # [N] int32: order[rank] = gaussian id
     num_truncated: jnp.ndarray  # scalar int32 (see TileBins)
+    pair_rows: jnp.ndarray = None   # [B] int32 frame row of sorted pair p
+                                    # (>= T*k1+t2*k2 for dropped pairs)
+    pair_ranks: jnp.ndarray = None  # [B] int32 depth rank of sorted pair p
+    num_pairs: jnp.ndarray = None   # scalar int32 true pair count (audit
+                                    # vs the static B)
 
 
 def tile_grid(width: int, height: int, tile_size: int):
@@ -127,11 +140,12 @@ def bin_gaussians(proj: ProjectedGaussians, width: int, height: int,
 
 @functools.partial(jax.jit, static_argnames=(
     "width", "height", "tile_size", "k1", "k2", "t2",
-    "max_tiles_per_gaussian"))
+    "max_tiles_per_gaussian", "pair_budget"))
 def bin_gaussians_two_level(proj: ProjectedGaussians, width: int,
                             height: int, tile_size: int, k1: int, k2: int,
                             t2: int,
-                            max_tiles_per_gaussian: int = MAX_TILES_PER_GAUSSIAN
+                            max_tiles_per_gaussian: int = MAX_TILES_PER_GAUSSIAN,
+                            pair_budget: int = 0
                             ) -> TileBinsTwoLevel:
     """Two-level binning: dense k1 ranks for every tile plus k2 overflow
     ranks for the ``t2`` busiest tiles (see :class:`TileBinsTwoLevel`).
@@ -139,24 +153,111 @@ def bin_gaussians_two_level(proj: ProjectedGaussians, width: int,
     Same fused-key sort as :func:`bin_gaussians`; only the decode differs —
     overflow ranks are gathered straight from the sorted keys at
     ``starts[ovf] + k1``, so no [T, k1+k2] intermediate is ever built.
+
+    With ``pair_budget`` B > 0 the per-slot rank decode is replaced by the
+    sorted-pair-prefix tables (``pair_rows``/``pair_ranks``): renders touch
+    B rows instead of T*k1 + t2*k2. B must cover every real pair
+    (``num_pairs`` audits this); pairs past the budget are dropped from the
+    render like tiles past the overflow budget.
     """
     n = proj.depths.shape[0]
     sorted_keys, starts, counts, order, num_trunc = _sort_pairs(
         proj, width, height, tile_size, max_tiles_per_gaussian)
 
+    ovf_counts, ovf_ids = jax.lax.top_k(counts, t2)
+    ovf_ids = ovf_ids.astype(jnp.int32)
+    counts2 = jnp.clip(ovf_counts - k1, 0, k2)
+    common = dict(counts=counts, counts1=jnp.minimum(counts, k1),
+                  ovf_ids=ovf_ids, counts2=counts2, order=order,
+                  num_truncated=num_trunc,
+                  num_pairs=starts[-1].astype(jnp.int32))
+
+    if pair_budget > 0:
+        pair_rows, pair_ranks, _ = _pair_prefix_tables(
+            sorted_keys, starts, counts, ovf_ids, k1, k2, pair_budget)
+        return TileBinsTwoLevel(
+            ranks1=None, ranks2=None, pair_rows=pair_rows,
+            pair_ranks=pair_ranks, **common)
+
     kk1 = jnp.arange(k1, dtype=jnp.int32)[None, :]
     ranks1 = _decode_ranks(sorted_keys, starts[:-1, None] + kk1, n)
-
-    ovf_counts, ovf_ids = jax.lax.top_k(counts, t2)
     starts2 = starts[:-1][ovf_ids] + k1                           # [t2]
     kk2 = jnp.arange(k2, dtype=jnp.int32)[None, :]
     ranks2 = _decode_ranks(sorted_keys, starts2[:, None] + kk2, n)
-    counts2 = jnp.clip(ovf_counts - k1, 0, k2)
+    return TileBinsTwoLevel(ranks1=ranks1, ranks2=ranks2, **common)
 
-    return TileBinsTwoLevel(
-        ranks1=ranks1, counts=counts, counts1=jnp.minimum(counts, k1),
-        ovf_ids=ovf_ids.astype(jnp.int32), counts2=counts2, ranks2=ranks2,
-        order=order, num_truncated=num_trunc)
+
+# Sentinel frame-row offset for pairs that must not land in the frame
+# (beyond a tile's composited capacity, beyond the pair budget, or invalid).
+# Large enough that row = p + PAIR_DROP_OFF always exceeds any frame, small
+# enough that the int32 add cannot overflow.
+PAIR_DROP_OFF = jnp.int32(2 ** 30)
+
+
+def _pair_prefix_tables(sorted_keys, starts, counts, ovf_ids,
+                        k1: int, k2: int, budget: int):
+    """Map each sorted-pair position p < budget to its dense-frame row.
+
+    Within tile t's run [s_t, s_{t+1}) of the sorted keys, the frame row is
+    p plus a per-segment constant:
+
+      slots [0, k1):        row = t*k1 + (p - s_t)           -> p + offA_t
+      slots [k1, k1+k2):    row = T*k1 + j*k2 + (p - s_t - k1)
+                            (j = position in the overflow list; tiles not
+                            in the list drop these pairs)  -> p + offB_t
+      slots beyond k1+k2, pairs past the budget, invalid keys: dropped.
+
+    The offset is therefore a step function of p whose breakpoints are the
+    <= 3 segment starts of each tile — built with [T]-sized delta scatters
+    and ONE cumsum over [budget], with no per-pair gathers (a per-pair
+    [T]-table gather is what made the earlier pair-domain backward lose to
+    the plain frame scatter — KERNELS.md §5.1). Deltas telescope, so
+    coincident breakpoints (empty tiles) and non-monotonic offsets are both
+    handled by plain scatter-add.
+    """
+    T = counts.shape[0]
+    t2 = ovf_ids.shape[0]
+    s = starts[:-1].astype(jnp.int32)                         # [T]
+    total = starts[-1].astype(jnp.int32)
+    B = budget
+
+    tt = jnp.arange(T, dtype=jnp.int32)
+    off_a = tt * k1 - s
+    ovf_pos = jnp.full((T,), -1, jnp.int32).at[ovf_ids].set(
+        jnp.arange(t2, dtype=jnp.int32), mode="drop")
+    has_ovf = ovf_pos >= 0
+    off_b = jnp.where(has_ovf, T * k1 + ovf_pos * k2 - k1 - s,
+                      PAIR_DROP_OFF)
+
+    # final offset value of each tile's run (what the next tile's delta
+    # telescopes against); the offset array implicitly starts at 0
+    endv = jnp.where(counts <= k1, off_a,
+                     jnp.where(~has_ovf, PAIR_DROP_OFF,
+                               jnp.where(counts <= k1 + k2, off_b,
+                                         PAIR_DROP_OFF)))
+    prev_end = jnp.concatenate([jnp.zeros((1,), jnp.int32), endv[:-1]])
+
+    pos1, d1 = s, off_a - prev_end
+    pos2 = jnp.where(counts > k1, s + k1, B)                  # B -> dropped
+    d2 = off_b - off_a
+    pos3 = jnp.where(has_ovf & (counts > k1 + k2), s + k1 + k2, B)
+    d3 = PAIR_DROP_OFF - off_b
+    pos_f = total[None]                                       # pairs end
+    d_f = (PAIR_DROP_OFF - endv[-1])[None]
+
+    deltas = jnp.zeros((B,), jnp.int32).at[
+        jnp.concatenate([pos1, pos2, pos3, pos_f])].add(
+        jnp.concatenate([d1, d2, d3, d_f]), mode="drop")
+    offsets = jnp.cumsum(deltas)
+
+    keys = sorted_keys
+    if keys.shape[0] < B:
+        keys = jnp.pad(keys, (0, B - keys.shape[0]),
+                       constant_values=2 ** 31 - 1)
+    pk = jax.lax.slice_in_dim(keys, 0, B)
+    pair_rows = jnp.arange(B, dtype=jnp.int32) + offsets
+    pair_ranks = pk & RANK_MASK
+    return pair_rows, pair_ranks, total
 
 
 def _sort_pairs(proj: ProjectedGaussians, width: int, height: int,

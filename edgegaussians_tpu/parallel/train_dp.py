@@ -46,6 +46,7 @@ def make_dp_train_step(cfg: FrameworkConfig, width: int, height: int,
         tile_size=mcfg.tile_size, capacity=mcfg.tile_gaussian_capacity,
         dense_capacity=mcfg.tile_dense_capacity,
         overflow_tiles=mcfg.tile_overflow_tiles,
+        pair_budget=mcfg.tile_pair_budget,
         backend=backend, antialiased=(mcfg.rasterize_mode == "antialiased"))
     strategy = losses_strategy_index(pl_cfg.loss_before_alternating)
 

@@ -55,6 +55,9 @@ class EpochStats(NamedTuple):
                                      # or renders truncate silently
     max_truncated: jnp.ndarray       # peak Gaussians truncated by
                                      # max_tiles_per_gaussian
+    max_pairs: jnp.ndarray = None    # peak per-view (tile, Gaussian) pair
+                                     # count; must stay <= tile_pair_budget
+                                     # when that is set (two-level only)
 
 
 def _strategy_index(name: str) -> int:
@@ -131,6 +134,7 @@ def make_epoch_fn(cfg: FrameworkConfig, width: int, height: int,
         tile_size=mcfg.tile_size, capacity=mcfg.tile_gaussian_capacity,
         dense_capacity=mcfg.tile_dense_capacity,
         overflow_tiles=mcfg.tile_overflow_tiles,
+        pair_budget=mcfg.tile_pair_budget,
         max_tiles_per_gaussian=mcfg.max_tiles_per_gaussian,
         backend=backend, antialiased=(mcfg.rasterize_mode == "antialiased"))
 
@@ -147,7 +151,7 @@ def make_epoch_fn(cfg: FrameworkConfig, width: int, height: int,
     def view_step(carry, view_idx, *, epoch, images, edge_masks, viewmats,
                   Ks, lrs, lambda_proj, bg_ratio, apply_dir, apply_ratio,
                   check_sampling):
-        ts, run_sum, max_tiles, max_ovf, max_trunc = carry
+        ts, run_sum, max_tiles, max_ovf, max_trunc, max_pairs = carry
         gs = ts.gaussians
         key, k_bg, k_next = jax.random.split(ts.key, 3)
 
@@ -231,7 +235,10 @@ def make_epoch_fn(cfg: FrameworkConfig, width: int, height: int,
                         .astype(jnp.int32))
         max_ovf = jnp.maximum(max_ovf, n_ovf)
         max_trunc = jnp.maximum(max_trunc, out.num_truncated)
-        return (ts, run_sum, max_tiles, max_ovf, max_trunc), proj_loss
+        if out.num_pairs is not None:
+            max_pairs = jnp.maximum(max_pairs, out.num_pairs)
+        return (ts, run_sum, max_tiles, max_ovf, max_trunc,
+                max_pairs), proj_loss
 
     @jax.jit
     def epoch_fn(ts: TrainState, epoch: jnp.ndarray,
@@ -261,17 +268,18 @@ def make_epoch_fn(cfg: FrameworkConfig, width: int, height: int,
             bg_ratio=bg_ratio, apply_dir=apply_dir, apply_ratio=apply_ratio,
             check_sampling=check_sampling)
 
-        (ts, run_sum, max_tiles, max_ovf, max_trunc), view_losses = \
-            jax.lax.scan(
+        (ts, run_sum, max_tiles, max_ovf, max_trunc, max_pairs), \
+            view_losses = jax.lax.scan(
                 body, (ts, jnp.float32(0.0), jnp.int32(0), jnp.int32(0),
-                       jnp.int32(0)), view_order)
+                       jnp.int32(0), jnp.int32(0)), view_order)
 
         stats = EpochStats(
             avg_loss=run_sum / num_views,
             num_alive=ts.gaussians.num_alive(),
             max_tile_count=max_tiles,
             max_overflow_tiles=max_ovf,
-            max_truncated=max_trunc)
+            max_truncated=max_trunc,
+            max_pairs=max_pairs)
         return ts, stats
 
     _PROGRAM_MEMO[memo_key] = epoch_fn
@@ -543,7 +551,11 @@ def train(scene, seed_points: np.ndarray, cfg: FrameworkConfig,
                    f"ovf={int(stats.max_overflow_tiles)}/"
                    f"{ovf_budget} "
                    f"trunc={int(stats.max_truncated)} "
-                   f"px/s={px_per_epoch / dt / 1e6:.1f}M "
+                   + (f"pairs={int(stats.max_pairs)}"
+                      + (f"/{cfg.model.tile_pair_budget} "
+                         if cfg.model.tile_pair_budget else " ")
+                      if stats.max_pairs is not None else "")
+                   + f"px/s={px_per_epoch / dt / 1e6:.1f}M "
                    f"t={now - t0:.1f}s")
         if writer is not None:
             writer.add_scalar("Projection loss", float(stats.avg_loss),

@@ -205,3 +205,63 @@ def test_two_level_absgrad(test_scene):
                       argnums=(0, 1))(means, sink)
     np.testing.assert_allclose(np.array(gs2), np.array(gs1),
                                atol=5e-5, rtol=5e-3)
+
+
+def test_pair_prefix_matches_plain_two_level(test_scene):
+    """The sorted-pair-prefix frame build + backward reduction must
+    reproduce the plain two-level images exactly and gradients (incl. the
+    absgrad sink) to reassociation tolerance."""
+    means, quats, scales, opac, viewmat, K = map(jnp.array, test_scene)
+    W, H = 64, 48
+    n = means.shape[0]
+    kwargs = dict(tile_size=16, capacity=64, dense_capacity=16,
+                  overflow_tiles=4, backend="jax")
+
+    def loss(pb):
+        def f(m, q, s, o, sink):
+            out = rasterize(m, q, s, o, viewmat, K, W, H,
+                            pair_budget=pb, absgrad_sink=sink, **kwargs)
+            return jnp.mean(jnp.abs(out.image - 0.25)), out
+        return f
+
+    sink = jnp.zeros((n, 2))
+    (_, out0), g0 = jax.value_and_grad(
+        loss(0), argnums=(0, 1, 2, 3, 4), has_aux=True)(
+        means, quats, scales, opac, sink)
+    (_, out1), g1 = jax.value_and_grad(
+        loss(4096), argnums=(0, 1, 2, 3, 4), has_aux=True)(
+        means, quats, scales, opac, sink)
+
+    assert int(out1.num_pairs) == int(out0.num_pairs) > 0
+    np.testing.assert_array_equal(np.array(out1.image), np.array(out0.image))
+    for a, b, name in zip(g1, g0, ["means", "quats", "scales", "opac",
+                                   "absgrad"]):
+        np.testing.assert_allclose(
+            np.array(a), np.array(b), atol=5e-6, rtol=1e-4,
+            err_msg=f"pair-prefix gradient mismatch for {name}")
+
+
+def test_pair_prefix_budget_exceeded_drops_tail(test_scene):
+    """Pairs past the budget drop deterministically (like the overflow-tile
+    budget): finite image with no more light, audited via num_pairs."""
+    means, quats, scales, opac, viewmat, K = map(jnp.array, test_scene)
+    W, H = 64, 48
+    kwargs = dict(tile_size=16, capacity=64, dense_capacity=16,
+                  overflow_tiles=4, backend="jax")
+    full = rasterize(means, quats, scales, opac, viewmat, K, W, H,
+                     pair_budget=4096, **kwargs)
+    assert int(full.num_pairs) > 16
+
+    small = rasterize(means, quats, scales, opac, viewmat, K, W, H,
+                      pair_budget=16, **kwargs)
+    assert int(small.num_pairs) == int(full.num_pairs)  # audit: true count
+    img = np.array(small.image)
+    assert np.isfinite(img).all()
+    assert img.sum() <= np.array(full.image).sum() + 1e-3
+
+    def loss(m):
+        out = rasterize(m, quats, scales, opac, viewmat, K, W, H,
+                        pair_budget=16, **kwargs)
+        return jnp.mean(out.image)
+
+    assert np.isfinite(np.array(jax.grad(loss)(means))).all()
