@@ -82,6 +82,10 @@ def rasterize(
         absgrad_sink = jnp.zeros((n, 2), dtype=jnp.float32)
 
     packed = tiles_mod.pack_gaussian_render_data(proj)    # [N,8]
+    # Strict-vma note: under shard_map, ``absgrad_sink`` must be declared
+    # varying (ops.vma.match_vma) by the caller BEFORE the function being
+    # differentiated — a pvary inside the grad would transpose to a psum
+    # and silently change absgrad semantics. See parallel/train_dp.py.
     num_tiles = tiles_mod.tile_grid(width, height, tile_size)[2]
     capacity = min(capacity, n) if n > 0 else capacity
 

@@ -1,0 +1,52 @@
+"""Varying-manual-axes (vma) helpers for shard_map-safe custom VJPs.
+
+Under ``jax.shard_map`` with vma tracking, a ``jax.custom_vjp`` bwd rule
+must produce cotangents whose varying manual axes exactly match the primal
+inputs'. The rasterizer's absgrad *sink* is created as plain zeros — an
+unvarying value — but its cotangent is derived from device-varying image
+losses, so strict-vma JAX rejects the backward pass unless the sink primal
+is declared varying first (``jax.lax.pvary``). These helpers promote a
+value's vma to the join of reference values' vma; they are exact no-ops
+outside shard_map and on older JAX versions without vma-typed avals.
+"""
+
+from __future__ import annotations
+
+import jax
+
+
+def vma_of(x) -> frozenset:
+    """The set of manual mesh axes ``x`` is varying over (empty outside
+    shard_map or on JAX versions without vma-typed avals)."""
+    try:
+        aval = jax.typeof(x)
+    except Exception:
+        try:
+            aval = jax.core.get_aval(x)
+        except Exception:
+            return frozenset()
+    vma = getattr(aval, "vma", None)
+    if vma is None:
+        return frozenset()
+    return frozenset(vma)
+
+
+def pvary(x, axes):
+    """Mark ``x`` varying over ``axes`` (portable across JAX versions)."""
+    axes = tuple(axes)
+    if not axes:
+        return x
+    pcast = getattr(jax.lax, "pcast", None)
+    if pcast is not None:
+        return pcast(x, axes, to="varying")
+    return jax.lax.pvary(x, axes)
+
+
+def match_vma(x, *refs):
+    """Promote ``x`` to vary over every manual axis any of ``refs`` varies
+    over. Use on custom-VJP primal inputs (e.g. gradient sinks) whose
+    cotangent will inherit the refs' varying axes."""
+    want = frozenset().union(*(vma_of(r) for r in refs)) - vma_of(x)
+    if not want:
+        return x
+    return pvary(x, tuple(sorted(want, key=str)))

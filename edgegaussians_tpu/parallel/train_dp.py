@@ -27,6 +27,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from edgegaussians_tpu.config import FrameworkConfig
+from edgegaussians_tpu.ops import vma as vma_mod
 from edgegaussians_tpu.models import losses
 from edgegaussians_tpu.models.gaussians import GaussianParams, render_view
 from edgegaussians_tpu.train import optim
@@ -76,7 +77,12 @@ def make_dp_train_step(cfg: FrameworkConfig, width: int, height: int,
                         losses.compute_weight_mask(edge_masks[iv]))
                 return l, out
 
-            sink0 = jnp.zeros((params.means.shape[0], 2), jnp.float32)
+            # the sink's cotangent varies over 'views' (it is derived from
+            # the device-local image loss), so the primal must be declared
+            # varying too — and OUTSIDE loss_fn, else the pvary transposes
+            # to a psum and absgrad becomes norm-of-sum across devices
+            sink0 = vma_mod.match_vma(
+                jnp.zeros((params.means.shape[0], 2), jnp.float32), images)
             (l, _), (g, gsink) = jax.value_and_grad(
                 loss_fn, argnums=(0, 1), has_aux=True)(params, sink0)
             gsum = jax.tree.map(jnp.add, gsum, g)
@@ -86,7 +92,7 @@ def make_dp_train_step(cfg: FrameworkConfig, width: int, height: int,
         # the scan carry becomes device-varying over the 'views' axis; mark
         # the initial zeros accordingly (new shard_map vma tracking)
         def vary(x):
-            return jax.lax.pcast(x, ("views",), to="varying")
+            return vma_mod.match_vma(x, images)
 
         gsum0 = jax.tree.map(lambda x: vary(jnp.zeros_like(x)), params)
         (gsum, lsum, asum, _), _ = jax.lax.scan(
@@ -218,6 +224,9 @@ def make_tile_sharded_render(cfg: FrameworkConfig, width: int, height: int,
         def f(p, s):
             return local_loss(p, alive, viewmat, K, gt_tiles, pix_valid, s)
 
+        # sink enters replicated (P()) but its cotangent varies over
+        # 'tiles'; declare it varying BEFORE differentiating (see above)
+        sink = vma_mod.match_vma(sink, gt_tiles)
         loss, (g, gsink) = jax.value_and_grad(
             f, argnums=(0, 1))(params, sink)
         # partial sums vary over 'tiles' only (inputs are view-invariant)
