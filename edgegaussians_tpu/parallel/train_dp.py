@@ -55,6 +55,13 @@ def make_dp_train_step(cfg: FrameworkConfig, width: int, height: int,
                     lambda_proj, bg_ratio):
         """Grad sum over this device's views (lax.scan, rematerialized)."""
         nv = images.shape[0]
+        # Differentiate w.r.t. VARYING params so grads stay per-device
+        # partials and the explicit psum below is the one true reduction.
+        # Grads w.r.t. a replicated (unvarying) input inside shard_map come
+        # back already cross-device-summed (the auto-inserted pvary
+        # transposes to a psum), which made the explicit psum overcount by
+        # the axis size — measured 4x on a 4-way mesh.
+        params = jax.tree.map(lambda x: vma_mod.match_vma(x, images), params)
 
         def one_view(carry, iv):
             gsum, lsum, asum, key = carry
@@ -150,6 +157,7 @@ def make_dp_train_step(cfg: FrameworkConfig, width: int, height: int,
         ts = TrainState(gaussians=gs, opt=opt, step=ts.step + 1, key=key)
         return ts, loss_sum / num_views
 
+    dp_step.sharded_grads = sharded_grads   # exposed for equivalence tests
     return dp_step
 
 
@@ -224,8 +232,12 @@ def make_tile_sharded_render(cfg: FrameworkConfig, width: int, height: int,
         def f(p, s):
             return local_loss(p, alive, viewmat, K, gt_tiles, pix_valid, s)
 
-        # sink enters replicated (P()) but its cotangent varies over
-        # 'tiles'; declare it varying BEFORE differentiating (see above)
+        # params and sink enter replicated (P()) but their cotangents vary
+        # over 'tiles'; declare them varying BEFORE differentiating so the
+        # grads stay per-device partials (else they arrive auto-psum'd and
+        # the explicit psum below overcounts by the axis size)
+        params = jax.tree.map(lambda x: vma_mod.match_vma(x, gt_tiles),
+                              params)
         sink = vma_mod.match_vma(sink, gt_tiles)
         loss, (g, gsink) = jax.value_and_grad(
             f, argnums=(0, 1))(params, sink)

@@ -132,3 +132,77 @@ def test_tileize_roundtrip():
     back = assemble_image(tiles, 60, 44, 16)
     np.testing.assert_allclose(np.array(back), np.array(img))
     assert float(valid.sum()) == 44 * 60
+
+
+def test_dp_raw_grads_match_sequential_exactly():
+    """Direct (pre-Adam) gradient equivalence: psum'd DP grads must equal
+    the sequential per-view grad SUM with ratio ~1 on every significant
+    entry. Guards against the replicated-input auto-psum overcount (grads
+    w.r.t. unvarying params inside shard_map arrive cross-device-summed,
+    so the explicit psum would multiply by the axis size — a 4x error on
+    a 4-way mesh that Adam's scale invariance hid in round 1)."""
+    cfg, ts, images, edge_masks, viewmats, Ks, W, H = _setup()
+    mesh = mesh_mod.make_mesh(view_axis=4, tile_axis=2)
+    dp_step = train_dp.make_dp_train_step(cfg, W, H, "jax", mesh)
+    with mesh:
+        g, l, a = dp_step.sharded_grads(
+            ts.gaussians.params, ts.gaussians.alive, images, edge_masks,
+            viewmats, Ks, jax.random.PRNGKey(0), jnp.float32(1.0),
+            jnp.float32(1.0))
+
+    def seq(params):
+        total = 0.0
+        for v in range(images.shape[0]):
+            out = render_view(params, ts.gaussians.alive, viewmats[v],
+                              Ks[v], W, H, capacity=64, backend="jax")
+            total += losses.projection_loss_whole(
+                jnp.clip(out.image, 0, 1), images[v])
+        return total
+
+    g_ref = jax.grad(seq)(ts.gaussians.params)
+    assert np.isclose(float(l), float(seq(ts.gaussians.params)), rtol=1e-5)
+    for name in ("means", "scales", "quats", "opacities"):
+        got = np.array(getattr(g, name))
+        ref = np.array(getattr(g_ref, name))
+        big = np.abs(ref) > 1e-4
+        if big.any():
+            ratios = got[big] / ref[big]
+            # guards a scale error of the mesh-axis size (4x); f32
+            # reduction-order noise stays ~1e-3
+            np.testing.assert_allclose(ratios, 1.0, rtol=1e-2,
+                                       err_msg=f"dp grad scale {name}")
+
+
+def test_tile_sharded_grads_scale_exact():
+    """Same guard for the tile-sharded path: grads on significant entries
+    must match the single-device render at ratio ~1 (was 4x pre-fix)."""
+    cfg, ts, images, edge_masks, viewmats, Ks, W, H = _setup()
+    mesh = mesh_mod.make_mesh(view_axis=2, tile_axis=4)
+    tile_fn = train_dp.make_tile_sharded_render(cfg, W, H, "jax", mesh)
+    with mesh:
+        loss_sh, g_sh, gsink_sh = tile_fn(
+            ts.gaussians.params, ts.gaussians.alive, viewmats[0], Ks[0],
+            images[0])
+
+    def ref(params, sink):
+        out = render_view(params, ts.gaussians.alive, viewmats[0], Ks[0],
+                          W, H, capacity=64, backend="jax",
+                          absgrad_sink=sink)
+        return jnp.mean(jnp.abs(jnp.clip(out.image, 0, 1) - images[0]))
+
+    sink0 = jnp.zeros((ts.gaussians.capacity, 2))
+    _, (g_ref, gsink_ref) = jax.value_and_grad(
+        ref, argnums=(0, 1))(ts.gaussians.params, sink0)
+    for name in ("means", "scales", "quats", "opacities"):
+        got = np.array(getattr(g_sh, name))
+        refv = np.array(getattr(g_ref, name))
+        big = np.abs(refv) > 1e-4
+        if big.any():
+            np.testing.assert_allclose(got[big] / refv[big], 1.0,
+                                       rtol=1e-2,
+                                       err_msg=f"tile grad scale {name}")
+    bigs = np.abs(np.array(gsink_ref)) > 1e-7
+    if bigs.any():
+        np.testing.assert_allclose(
+            np.array(gsink_sh)[bigs] / np.array(gsink_ref)[bigs], 1.0,
+            rtol=1e-3)
