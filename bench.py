@@ -113,7 +113,11 @@ def main():
     px_s = width * height / dt
     print(json.dumps({"metric": metric, "value": round(px_s, 1),
                       "unit": "px/s/chip",
-                      "vs_baseline": round(px_s / REF_PX_S, 3)}))
+                      "vs_baseline": round(px_s / REF_PX_S, 3),
+                      "baseline_source": "estimate: reference repo commits "
+                      "no numbers (BASELINE.md); REF_PX_S=15e6 is an "
+                      "estimate of gsplat-1.0 fwd+bwd on the reference's "
+                      "consumer-GPU environment"}))
 
 
 if __name__ == "__main__":

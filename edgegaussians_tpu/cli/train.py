@@ -37,6 +37,11 @@ def main(argv=None):
                          "here (view in TensorBoard's trace viewer)")
     ap.add_argument("--profile_epochs", type=int, default=1,
                     help="number of steady-state epochs to trace")
+    ap.add_argument("--mesh_tiles", type=int, default=0,
+                    help="shard every render+backward across this many "
+                         "devices on a 'tiles' mesh axis (0 = single "
+                         "device); semantics identical to single-device "
+                         "training (parallel/train_sharded.py)")
     args = ap.parse_args(argv)
 
     from edgegaussians_tpu.utils.cache import enable_compilation_cache
@@ -88,6 +93,17 @@ def main(argv=None):
         initial_state = trainer.load_checkpoint(args.ckpt_path, template)
         print(f"Resumed from {args.ckpt_path}")
 
+    mesh = None
+    if args.mesh_tiles > 0:
+        import jax
+        from jax.sharding import Mesh
+        devs = jax.devices()
+        if len(devs) < args.mesh_tiles:
+            raise SystemExit(f"--mesh_tiles {args.mesh_tiles} exceeds "
+                             f"{len(devs)} available devices")
+        mesh = Mesh(np.array(devs[:args.mesh_tiles]), ("tiles",))
+        print(f"tile-sharded training over {args.mesh_tiles} devices")
+
     t0 = time.time()
     ts = trainer.train(scene, seed_pts, cfg, backend=args.backend,
                        log_dir=log_dir,
@@ -96,7 +112,8 @@ def main(argv=None):
                                        if cfg.training.checkpoint_interval
                                        else None),
                        profile_dir=args.profile_dir,
-                       profile_epochs=args.profile_epochs)
+                       profile_epochs=args.profile_epochs,
+                       mesh=mesh)
     elapsed = time.time() - t0
     print(f"Training took {elapsed} seconds")
     with open(os.path.join(output_dir, "time.txt"), "w") as f:

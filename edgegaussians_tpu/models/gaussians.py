@@ -98,11 +98,14 @@ def render_view(params: GaussianParams, alive: jnp.ndarray,
                 pair_budget: int = 0,
                 max_tiles_per_gaussian: int = 64,
                 backend: str = "jax", antialiased: bool = True,
-                absgrad_sink: Optional[jnp.ndarray] = None) -> RenderResult:
+                absgrad_sink: Optional[jnp.ndarray] = None,
+                band_row0: Optional[jnp.ndarray] = None,
+                band_tile_rows: Optional[int] = None) -> RenderResult:
     """Render one camera from the model state (edge_gs.py:197-286).
 
     Applies the exp/sigmoid reparameterizations at the rasterizer boundary
     exactly as the reference's get_outputs does (edge_gs.py:253-254).
+    Band mode renders a horizontal tile-row band (see ops.rasterize).
     """
     return rasterize(
         params.means, params.quats, linear_scales(params),
@@ -112,7 +115,8 @@ def render_view(params: GaussianParams, alive: jnp.ndarray,
         pair_budget=pair_budget,
         max_tiles_per_gaussian=max_tiles_per_gaussian,
         backend=backend, antialiased=antialiased, alive=alive,
-        absgrad_sink=absgrad_sink)
+        absgrad_sink=absgrad_sink,
+        band_row0=band_row0, band_tile_rows=band_tile_rows)
 
 
 def export_as_ply(state: GaussianState, ply_path: str) -> int:

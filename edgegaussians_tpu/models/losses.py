@@ -81,8 +81,12 @@ def _kth_smallest(scores: jnp.ndarray, k: jnp.ndarray,
         enough = jnp.sum(scores <= mid) >= k
         return (jnp.where(enough, lo, mid), jnp.where(enough, mid, hi))
 
+    # under shard_map the bracket inherits the scores' varying axes; the
+    # initial carry must be declared varying to match (no-op otherwise)
+    from edgegaussians_tpu.ops.vma import match_vma
     _, hi = jax.lax.fori_loop(
-        0, iters, body, (jnp.float32(0.0), jnp.float32(2.0)))
+        0, iters, body, (match_vma(jnp.float32(0.0), scores, k),
+                         match_vma(jnp.float32(2.0), scores, k)))
     return hi
 
 

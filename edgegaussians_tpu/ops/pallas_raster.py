@@ -31,6 +31,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from edgegaussians_tpu.ops import vma
 from edgegaussians_tpu.ops.projection import (
     ALPHA_CLAMP, ALPHA_THRESHOLD, SIGMA_GUARD_EPS, TRANSMITTANCE_EPS)
 
@@ -149,7 +150,7 @@ def _composite_fwd(feats, basis, interpret: bool = False):
         ],
         out_specs=pl.BlockSpec((tb, p), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((tp, p), jnp.float32),
+        out_shape=vma.out_struct((tp, p), jnp.float32, feats_t),
         cost_estimate=pl.CostEstimate(
             flops=2 * tp * k * 9 * p + 14 * tp * k * p,
             bytes_accessed=tp * k * 8 * 4 + tp * p * 4,
@@ -185,7 +186,7 @@ def _composite_bwd(feats, basis, g, interpret: bool = False):
         ],
         out_specs=pl.BlockSpec((tb, 8, k), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((tp, 8, k), jnp.float32),
+        out_shape=vma.out_struct((tp, 8, k), jnp.float32, feats_t, g_p),
         cost_estimate=pl.CostEstimate(
             flops=4 * tp * k * 9 * p + 24 * tp * k * p,
             bytes_accessed=2 * tp * k * 8 * 4 + tp * p * 4,

@@ -40,6 +40,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from edgegaussians_tpu.ops import vma
 from edgegaussians_tpu.ops.projection import (
     ALPHA_CLAMP, ALPHA_THRESHOLD, SIGMA_GUARD_EPS, TRANSMITTANCE_EPS)
 
@@ -108,11 +109,15 @@ def _fwd_kernel(counts_ref, feats_ref, basis_ref, tin_ref, out_ref,
         img = img + jnp.sum(alpha * (t_inc / om) * keep, axis=1)
         return img, t_inc[:, chunk - 1, :]
 
-    img = jnp.zeros((tb, p), jnp.float32)
     t_carry = tin_ref[:]                           # [TB,P]
+    # under a strict-vma shard_map the ref loads are device-varying; fresh
+    # zeros and loop counters must be promoted to match or the loop-carry /
+    # dynamic_slice vma checks reject the kernel (ops/vma.py)
+    img = vma.match_vma(jnp.zeros((tb, p), jnp.float32), t_carry)
+    c0 = vma.match_vma(jnp.int32(0), t_carry)
     if n_chunks == 1:
         do = (maxc > 0) & (jnp.max(t_carry) >= TRANSMITTANCE_EPS)
-        img, t_carry = jax.lax.cond(do, work, lambda _, a: a, 0,
+        img, t_carry = jax.lax.cond(do, work, lambda _, a: a, c0,
                                     (img, t_carry))
     else:
         # chunk walk as a while_loop whose condition IS the block-level
@@ -133,7 +138,7 @@ def _fwd_kernel(counts_ref, feats_ref, basis_ref, tin_ref, out_ref,
             return c + 1, img, t_carry
 
         _, img, t_carry = jax.lax.while_loop(
-            cond_fn, body, (jnp.int32(0), img, t_carry))
+            cond_fn, body, (c0, img, t_carry))
     out_ref[:] = img
     tout_ref[:] = t_carry
 
@@ -170,6 +175,9 @@ def _bwd_kernel(counts_ref, feats_ref, basis_ref, g_ref, tin_ref,
 
     csum = prior_ref[:]                            # earlier-segment prefix
     t_carry = tin_ref[:]
+    # vma promotion of fresh values: see _fwd_kernel
+    zchunk = vma.match_vma(jnp.zeros((tb, 8, chunk), jnp.float32), t_carry)
+    c0 = vma.match_vma(jnp.int32(0), t_carry)
     if n_chunks == 1:
         do = (maxc > 0) & (jnp.max(t_carry) >= TRANSMITTANCE_EPS)
 
@@ -178,17 +186,16 @@ def _bwd_kernel(counts_ref, feats_ref, basis_ref, g_ref, tin_ref,
             return csum, t_carry, df
 
         def skip(c, args):
-            return (*args[:2],
-                    jnp.zeros((tb, 8, chunk), jnp.float32))
+            return (*args[:2], zchunk)
 
         _, _, dfc_t = jax.lax.cond(
-            do, run, skip, 0,
-            (csum, t_carry, jnp.zeros((tb, 8, chunk), jnp.float32)))
+            do, run, skip, c0, (csum, t_carry, zchunk))
         dfeats_ref[:] = dfc_t
     else:
         # while_loop with predication as the loop condition: see
         # _fwd_kernel. Chunks the loop never reaches must still be zeroed.
-        dfeats_ref[:] = jnp.zeros((tb, 8, k), jnp.float32)
+        dfeats_ref[:] = vma.match_vma(
+            jnp.zeros((tb, 8, k), jnp.float32), t_carry)
         needed = (maxc + chunk - 1) // chunk
 
         def cond_fn(state):
@@ -202,8 +209,7 @@ def _bwd_kernel(counts_ref, feats_ref, basis_ref, g_ref, tin_ref,
             dfeats_ref[:, :, pl.ds(c * chunk, chunk)] = dfc_t
             return c + 1, csum, t_carry
 
-        jax.lax.while_loop(cond_fn, body,
-                           (jnp.int32(0), csum, t_carry))
+        jax.lax.while_loop(cond_fn, body, (c0, csum, t_carry))
 
 
 def _pad_tiles(x, tb, value=0):
@@ -268,8 +274,8 @@ def _composite_fwd(feats, counts, basis, t_in, interpret: bool = False):
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((tp, p), jnp.float32),
-            jax.ShapeDtypeStruct((tp, p), jnp.float32),
+            vma.out_struct((tp, p), jnp.float32, feats_t, counts_p, tin_p),
+            vma.out_struct((tp, p), jnp.float32, feats_t, counts_p, tin_p),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * tp * k * 9 * p + 14 * tp * k * p,
@@ -338,7 +344,8 @@ def _composite_bwd(feats, counts, basis, g, t_in, prior, total,
         ],
         out_specs=pl.BlockSpec((tb, 8, k), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((tp, 8, k), jnp.float32),
+        out_shape=vma.out_struct((tp, 8, k), jnp.float32, feats_t,
+                                 counts_p, g_p, tin_p, prior_p, total_p),
         cost_estimate=pl.CostEstimate(
             flops=4 * tp * k * 9 * p + 28 * tp * k * p,
             bytes_accessed=2 * tp * k * 8 * 4 + tp * p * 4,

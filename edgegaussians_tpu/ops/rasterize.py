@@ -67,21 +67,78 @@ def rasterize(
     far_plane: float = 1e10,
     alive: Optional[jnp.ndarray] = None,
     absgrad_sink: Optional[jnp.ndarray] = None,   # [N,2] zeros
+    band_row0: Optional[jnp.ndarray] = None,  # traced int32: first tile row
+    band_tile_rows: Optional[int] = None,     # static: tile rows in band
 ) -> RenderResult:
     """Render one view. Differentiable in means/quats/scales/opacities and,
-    through ``absgrad_sink``'s cotangent, reports accumulated |d means2d|."""
+    through ``absgrad_sink``'s cotangent, reports accumulated |d means2d|.
+
+    Band mode (``band_row0`` + ``band_tile_rows``): render only a
+    horizontal band of ``band_tile_rows`` tile rows starting at tile row
+    ``band_row0`` — the unit of tile-sharded multi-chip rendering
+    (parallel/train_sharded.py). The projection is computed in full-image
+    coordinates and shifted so binning sees a ``band_tile_rows*tile_size``
+    high image; Gaussians outside the band produce zero (tile, rank) pairs
+    (their clipped spans collapse), so per-tile lists — and hence the
+    composited band pixels — are identical to the corresponding rows of a
+    full-image render. ``image`` is then ``[band_tile_rows*tile_size, W]``
+    and per-tile diagnostics cover only the band.
+    """
     n = means.shape[0]
     proj = project_gaussians(
         means, quats, scales, opacities, viewmat, K, width, height,
         near_plane=near_plane, far_plane=far_plane,
         antialiased=antialiased, alive=alive)
+    packed = tiles_mod.pack_gaussian_render_data(proj)    # [N,8]
+    return rasterize_packed(
+        proj, packed, width, height, tile_size=tile_size,
+        capacity=capacity, dense_capacity=dense_capacity,
+        overflow_tiles=overflow_tiles, pair_budget=pair_budget,
+        max_tiles_per_gaussian=max_tiles_per_gaussian, backend=backend,
+        absgrad_sink=absgrad_sink, band_row0=band_row0,
+        band_tile_rows=band_tile_rows)
+
+
+def rasterize_packed(
+    proj,                          # ProjectedGaussians (binning; stop-grad)
+    packed: jnp.ndarray,           # [N,8] packed rows (differentiable)
+    width: int,
+    height: int,
+    *,
+    tile_size: int = 16,
+    capacity: int = 512,
+    dense_capacity: int = 0,
+    overflow_tiles: int = 0,
+    pair_budget: int = 0,
+    max_tiles_per_gaussian: int = 64,
+    backend: str = "jax",
+    absgrad_sink: Optional[jnp.ndarray] = None,
+    band_row0: Optional[jnp.ndarray] = None,
+    band_tile_rows: Optional[int] = None,
+) -> RenderResult:
+    """Bin + composite pre-projected, pre-packed Gaussians.
+
+    The entry point for Gaussian-axis (tensor-parallel) sharding
+    (parallel/train_tp.py): devices project disjoint parameter shards,
+    all-gather the cheap [N,8] packed rows, and call this on the full set —
+    gradients flow through ``packed`` (transposing the all-gather into a
+    reduce-scatter back to the owning shard). ``proj`` is consumed under
+    stop_gradient for binning only.
+    """
+    n = packed.shape[0]
+
+    if band_tile_rows is not None:
+        height = band_tile_rows * tile_size
+        shift = (band_row0 * tile_size).astype(jnp.float32)
+        off = jnp.stack([jnp.zeros_like(shift), shift])[None, :]
+        proj = proj._replace(means2d=proj.means2d - off)
+        # cols 3:5 of the packed rows are the screen-space center
+        packed = packed - jnp.pad(off, ((0, 0), (3, 3)))
 
     origins = tile_origins(width, height, tile_size)
     basis = pixel_basis(tile_size)
     if absgrad_sink is None:
         absgrad_sink = jnp.zeros((n, 2), dtype=jnp.float32)
-
-    packed = tiles_mod.pack_gaussian_render_data(proj)    # [N,8]
     # Strict-vma note: under shard_map, ``absgrad_sink`` must be declared
     # varying (ops.vma.match_vma) by the caller BEFORE the function being
     # differentiated — a pvary inside the grad would transpose to a psum

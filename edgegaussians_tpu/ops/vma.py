@@ -50,3 +50,37 @@ def match_vma(x, *refs):
     if not want:
         return x
     return pvary(x, tuple(sorted(want, key=str)))
+
+
+def shard_map_unchecked(f, *, mesh, in_specs, out_specs):
+    """``jax.shard_map`` with varying-manual-axes checking disabled.
+
+    The production shard_maps wrap Pallas kernels whose traced bodies are
+    not vma-clean in current JAX (ref loads carry the operand's vma but op
+    results drop it, so loop carries mismatch — observed on TPU with
+    jax 0.9). check_vma=False restores the untyped per-device regime:
+    grads w.r.t. replicated inputs stay per-device partials and the
+    explicit psums are the single reduction. Numerical equivalence with
+    single-device training is pinned by tests/test_train_sharded.py and
+    tests/test_parallel.py. Falls back to the legacy check_rep spelling.
+    """
+    try:
+        return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=False)
+    except TypeError:
+        from jax.experimental.shard_map import shard_map as legacy
+        return legacy(f, mesh=mesh, in_specs=in_specs,
+                      out_specs=out_specs, check_rep=False)
+
+
+def out_struct(shape, dtype, *refs):
+    """``jax.ShapeDtypeStruct`` for a pallas_call output whose vma joins the
+    refs' — required when the kernel runs under strict-vma shard_map (the
+    out aval must declare its varying axes); a plain struct otherwise."""
+    v = frozenset().union(*(vma_of(r) for r in refs))
+    if not v:
+        return jax.ShapeDtypeStruct(shape, dtype)
+    try:
+        return jax.ShapeDtypeStruct(shape, dtype, vma=v)
+    except TypeError:        # older JAX without vma-typed avals
+        return jax.ShapeDtypeStruct(shape, dtype)

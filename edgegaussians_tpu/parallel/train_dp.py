@@ -6,8 +6,10 @@ expressed with ``shard_map`` so XLA inserts the ICI collectives:
 - :func:`make_dp_train_step` — *view batch* mode: every device renders its
   shard of the view batch, local gradients are accumulated over a
   ``lax.scan`` and ``psum``-reduced across the mesh; one Adam step per
-  batch. (Large-batch semantics; the reference's per-view SGD cadence is
-  the single-chip trainer's job.)
+  batch, with the full loss surface (strategy alternation on the
+  batch-step counter, direction/ratio losses every 5 batch steps, absgrad
+  accumulation). Large-batch THROUGHPUT semantics — the reference's exact
+  per-view SGD cadence is parallel/train_sharded.py's job.
 - :func:`make_tile_sharded_render` — *tile* mode: one view's tile axis is
   sharded so a single render (and its backward) spans the 'tiles' axis;
   parameter gradients psum back to replicas. Preserves per-view SGD
@@ -24,7 +26,6 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax import shard_map
 
 from edgegaussians_tpu.config import FrameworkConfig
 from edgegaussians_tpu.ops import vma as vma_mod
@@ -49,10 +50,16 @@ def make_dp_train_step(cfg: FrameworkConfig, width: int, height: int,
         overflow_tiles=mcfg.tile_overflow_tiles,
         pair_budget=mcfg.tile_pair_budget,
         backend=backend, antialiased=(mcfg.rasterize_mode == "antialiased"))
-    strategy = losses_strategy_index(pl_cfg.loss_before_alternating)
+    strat_before = losses_strategy_index(pl_cfg.loss_before_alternating)
+    strat_less = losses_strategy_index(pl_cfg.less_freq_loss)
+    strat_more = losses_strategy_index(pl_cfg.more_freq_loss)
+    sampling_ratio = max(int(pl_cfg.sampling_whole_num_epochs_ratio), 1)
+    ol_cfg = cfg.training.loss.orientation_losses
+    num_nn = ol_cfg.dir_loss_num_nn
+    enforce = ol_cfg.dir_loss_enforce_method
 
     def local_grads(params, alive, images, edge_masks, viewmats, Ks, key,
-                    lambda_proj, bg_ratio):
+                    strategy_idx, lambda_proj, bg_ratio):
         """Grad sum over this device's views (lax.scan, rematerialized)."""
         nv = images.shape[0]
         # Differentiate w.r.t. VARYING params so grads stay per-device
@@ -72,17 +79,16 @@ def make_dp_train_step(cfg: FrameworkConfig, width: int, height: int,
                                   width, height, absgrad_sink=sink,
                                   **render_kwargs)
                 pred = jnp.clip(out.image, 0.0, 1.0)
-                if strategy == 0:
-                    l = losses.projection_loss_whole(
-                        pred, images[iv], pl_cfg.loss_type)
-                elif strategy == 1:
-                    l = losses.projection_loss_bg_edge_ratio(
-                        pred, images[iv], edge_masks[iv], bg_ratio, k_bg)
-                else:
-                    l = losses.projection_loss_weighted(
+                branches = [
+                    lambda: losses.projection_loss_whole(
+                        pred, images[iv], pl_cfg.loss_type),
+                    lambda: losses.projection_loss_bg_edge_ratio(
+                        pred, images[iv], edge_masks[iv], bg_ratio, k_bg),
+                    lambda: losses.projection_loss_weighted(
                         pred, images[iv],
-                        losses.compute_weight_mask(edge_masks[iv]))
-                return l, out
+                        losses.compute_weight_mask(edge_masks[iv])),
+                ]
+                return jax.lax.switch(strategy_idx, branches), out
 
             # the sink's cotangent varies over 'views' (it is derived from
             # the device-local image loss), so the primal must be declared
@@ -109,19 +115,20 @@ def make_dp_train_step(cfg: FrameworkConfig, width: int, height: int,
         return gsum, lsum, asum
 
     @functools.partial(
-        shard_map, mesh=mesh,
+        vma_mod.shard_map_unchecked, mesh=mesh,
         in_specs=(P(), P(), P("views"), P("views"), P("views"), P("views"),
-                  P(), P(), P()),
+                  P(), P(), P(), P()),
         out_specs=(P(), P(), P()))
     def sharded_grads(params, alive, images, edge_masks, viewmats, Ks,
-                      key, lambda_proj, bg_ratio):
+                      key, strategy_idx, lambda_proj, bg_ratio):
         # decorrelate per-device RNG along the views axis (the tiles axis
         # intentionally replicates DP work: results stay tile-invariant so
         # the /ntiles correction below is exact)
         vid = jax.lax.axis_index("views")
         key = jax.random.fold_in(key, vid)
         g, l, a = local_grads(params, alive, images, edge_masks,
-                              viewmats, Ks, key, lambda_proj, bg_ratio)
+                              viewmats, Ks, key, strategy_idx, lambda_proj,
+                              bg_ratio)
         # values are tile-invariant (DP work is replicated across 'tiles'),
         # so the reduction rides the 'views' axis only
         g = jax.lax.psum(g, ("views",))
@@ -144,17 +151,71 @@ def make_dp_train_step(cfg: FrameworkConfig, width: int, height: int,
             cfg.training.num_epochs)
 
         gs = ts.gaussians
+        # strategy alternation on the batch-step counter (the reference
+        # alternates on per-view renders, train_gaussians.py:73-77; here a
+        # batch step is the cadence unit -- large-batch semantics)
+        alt = jnp.where(ts.step % sampling_ratio == 0, strat_less,
+                        strat_more)
+        strategy_idx = jnp.where(
+            epoch > pl_cfg.start_alternating_at_epoch, alt, strat_before)
         grads, loss_sum, absgrad = sharded_grads(
             gs.params, gs.alive, images, edge_masks, viewmats, Ks,
-            k_step, lambda_proj, bg_ratio)
+            k_step, strategy_idx, lambda_proj, bg_ratio)
         grads = jax.tree.map(
             lambda g: lambda_proj * g / num_views, grads)
         params, opt = optim.apply_updates(gs.params, grads, ts.opt, lrs)
+        step = ts.step + 1
+
+        # direction / ratio losses every 5 batch steps, replicated compute
+        # (the reference fires every 5 renders and scales by the running
+        # projection-loss sum, train_gaussians.py:108-131; the batch loss
+        # sum plays that role here)
+        fire = (step % 5) == 0
+        apply_dir = epoch > ol_cfg.start_dir_loss_at_epoch
+        apply_ratio = epoch > ol_cfg.start_ratio_loss_at_epoch
+        geo_groups = ("means", "scales", "quats")
+
+        def dir_branch(args):
+            params, opt = args
+            nn_idx = losses.update_nearest_neighbors(
+                params.means, gs.alive, num_nn, enforce,
+                approx=cfg.training.approx_knn)
+
+            def dloss(p):
+                return losses.direction_loss(
+                    p.means, jnp.exp(p.scales), p.quats, nn_idx,
+                    gs.alive, num_nn, enforce)
+
+            dval, dgrads = jax.value_and_grad(dloss)(params)
+            lam = (loss_sum * ol_cfg.dir_loss_scale_factor) / \
+                jnp.maximum(dval, 1e-12)
+            dgrads = jax.tree.map(lambda g: lam * g, dgrads)
+            return optim.apply_updates(params, dgrads, opt, lrs,
+                                       geo_groups)
+
+        def ratio_branch(args):
+            params, opt = args
+
+            def rloss(p):
+                return losses.ratio_loss(jnp.exp(p.scales), gs.alive)
+
+            rval, rgrads = jax.value_and_grad(rloss)(params)
+            lam = (loss_sum * ol_cfg.ratio_loss_scale_factor) / \
+                jnp.maximum(rval, 1e-12)
+            rgrads = jax.tree.map(lambda g: lam * g, rgrads)
+            return optim.apply_updates(params, rgrads, opt, lrs,
+                                       geo_groups)
+
+        params, opt = jax.lax.cond(
+            apply_dir & fire, dir_branch, lambda a: a, (params, opt))
+        params, opt = jax.lax.cond(
+            apply_ratio & fire, ratio_branch, lambda a: a, (params, opt))
+
         gs = gs._replace(
             params=params,
             absgrads=gs.absgrads + absgrad * lambda_proj / num_views,
             absgrad_count=gs.absgrad_count + 1.0)
-        ts = TrainState(gaussians=gs, opt=opt, step=ts.step + 1, key=key)
+        ts = TrainState(gaussians=gs, opt=opt, step=step, key=key)
         return ts, loss_sum / num_views
 
     dp_step.sharded_grads = sharded_grads   # exposed for equivalence tests
@@ -224,7 +285,7 @@ def make_tile_sharded_render(cfg: FrameworkConfig, width: int, height: int,
         return jnp.sum(jnp.abs(pred - gt_tiles) * pix_valid)
 
     @functools.partial(
-        shard_map, mesh=mesh,
+        vma_mod.shard_map_unchecked, mesh=mesh,
         in_specs=(P(), P(), P(), P(), P("tiles"), P("tiles"), P()),
         out_specs=(P(), P(), P()))
     def sharded_loss_grad(params, alive, viewmat, K, gt_tiles, pix_valid,

@@ -1,0 +1,208 @@
+"""Gaussian-axis (tensor-parallel) sharding for large-N scenes.
+
+The SURVEY §2.2 TP row: shard the N-Gaussian axis of the projection work
+across the mesh, then all-gather the cheap packed screen-space rows so each
+device bins and composites its own tile band of the SAME view (reference
+param store being scaled: edge_gs.py:96-103; DTU/Replica run 20k seeds
+growing to 131k capacity — configs/DTU.json).
+
+Per render on a d-way 'gauss' axis:
+
+1. every device projects its N/d parameter shard (quat->R, Sigma, EWA
+   conic, antialias compensation — the O(N) math shards perfectly),
+2. ``all_gather`` of the [N,8] packed rows + depths + radii (~4.5 MB at
+   DTU's 131k capacity — cheap over ICI),
+3. each device bins + composites its tile-row band against the full set
+   (ops.rasterize.rasterize_packed with band args) — the compositing also
+   shards d ways; only the fused-key pair sort stays replicated (static
+   shapes: a band's candidate pairs are the full N x M set with non-band
+   pairs invalidated),
+4. the backward transposes the all-gather into a reduce-scatter: packed
+   cotangents psum back to the owning shard and flow through the LOCAL
+   projection VJP; full [N] parameter grads are reassembled with a
+   dynamic-update-slice + psum so the surrounding (replicated) Adam step
+   is unchanged.
+
+Implements the trainer proj-grad contract, so ``make_tp_epoch_fn`` trains
+with exact single-device semantics (tests/test_train_tp.py pins the
+trajectory). The direction/ratio losses and density control stay
+replicated — they are O(N)–O(N^2 top-k) between-render work outside the
+hot path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from edgegaussians_tpu.config import FrameworkConfig
+from edgegaussians_tpu.models import losses
+from edgegaussians_tpu.ops import vma as vma_mod
+from edgegaussians_tpu.ops.projection import (ProjectedGaussians,
+                                              project_gaussians)
+from edgegaussians_tpu.ops.rasterize import rasterize_packed
+from edgegaussians_tpu.ops.tiles import pack_gaussian_render_data, tile_grid
+from edgegaussians_tpu.parallel.train_sharded import band_geometry
+from edgegaussians_tpu.train import trainer as trainer_mod
+from edgegaussians_tpu.train.trainer import ProjGradStats
+
+
+def make_tp_proj_grad_fn(cfg: FrameworkConfig, width: int, height: int,
+                         backend: str, mesh: Mesh, axis: str = "gauss"):
+    """Gaussian-axis-sharded projection loss+grad (trainer contract).
+
+    Parameters stay replicated at rest (the Adam step and density control
+    are untouched); the projection/binning/compositing WORK shards over
+    ``mesh.shape[axis]``. Capacity must divide the axis size.
+    """
+    mcfg = cfg.model
+    pl_cfg = cfg.training.loss.projection_losses
+    ts_px = mcfg.tile_size
+    ntx, nty, num_tiles = tile_grid(width, height, ts_px)
+    d = mesh.shape[axis]
+    rows_per, band_h, pad_h = band_geometry(width, height, ts_px, d)
+    ovf_full = mcfg.tile_overflow_tiles or max(num_tiles // 4, 8)
+    render_kwargs = dict(
+        tile_size=ts_px, capacity=mcfg.tile_gaussian_capacity,
+        dense_capacity=mcfg.tile_dense_capacity,
+        overflow_tiles=min(ovf_full, rows_per * ntx),
+        pair_budget=mcfg.tile_pair_budget,
+        max_tiles_per_gaussian=mcfg.max_tiles_per_gaussian,
+        backend=backend)
+    antialiased = mcfg.rasterize_mode == "antialiased"
+    hw = jnp.float32(height * width)
+
+    def pad_rows(img):
+        return jnp.pad(img, ((0, pad_h - height), (0, 0)))
+
+    @functools.partial(vma_mod.shard_map_unchecked, mesh=mesh,
+                       in_specs=(P(),) * 9,
+                       out_specs=(P(), P(), P(), P()))
+    def sharded(params, alive, viewmat, K, gt, edge_mask, strategy_idx,
+                bg_ratio, key):
+        n = params.means.shape[0]
+        if n % d:
+            raise ValueError(f"capacity {n} not divisible by '{axis}' "
+                             f"axis size {d}")
+        shard_n = n // d
+        me = jax.lax.axis_index(axis)
+        g0 = me * shard_n
+        row0 = (me * rows_per).astype(jnp.int32)
+        y0 = row0 * ts_px
+
+        p_sh = jax.tree.map(
+            lambda x: jax.lax.dynamic_slice_in_dim(x, g0, shard_n, 0),
+            params)
+        alive_sh = jax.lax.dynamic_slice_in_dim(alive, g0, shard_n, 0)
+        p_sh = jax.tree.map(lambda x: vma_mod.match_vma(x, row0), p_sh)
+        sink0 = vma_mod.match_vma(
+            jnp.zeros((n, 2), jnp.float32), row0)
+
+        gt_b = jax.lax.dynamic_slice_in_dim(pad_rows(gt), y0, band_h,
+                                            axis=0)
+        em_b = jax.lax.dynamic_slice_in_dim(
+            pad_rows(edge_mask.astype(jnp.float32)), y0, band_h, axis=0)
+        yy = (jnp.arange(band_h, dtype=jnp.int32) + y0)[:, None]
+        valid_b = jnp.broadcast_to((yy < height).astype(jnp.float32),
+                                   (band_h, width))
+
+        def band_loss(pred):
+            # band-PARTIAL losses with globally-known denominators; see
+            # parallel/train_sharded.py for why no psum may appear here
+            adiff = jnp.abs(pred - gt_b) * valid_b
+
+            def whole():
+                if pl_cfg.loss_type == "l2":
+                    return jnp.sum(((pred - gt_b) ** 2) * valid_b) / hw
+                return jnp.sum(adiff) / hw
+
+            def bg_edge_ratio():
+                num_edge = jnp.sum(edge_mask)
+                edge_cnt = jnp.maximum(num_edge.astype(jnp.float32), 1.0)
+                edge_loss = jnp.sum(adiff * em_b) / edge_cnt
+                num_bg_all = height * width - num_edge
+                num_bg_sample = (bg_ratio * num_edge).astype(jnp.int32)
+                flat = jnp.arange(height * width)
+                scores = jax.random.uniform(key, (height * width,))
+                scores = jnp.where(flat < num_bg_all, scores, 2.0)
+                kth = losses._kth_smallest(scores, num_bg_sample)
+                smask = ((scores <= kth) & (flat < num_bg_all)
+                         & (num_bg_sample > 0)).reshape(height, width)
+                denom = jnp.maximum(jnp.sum(smask.astype(jnp.float32)),
+                                    1.0)
+                sm_b = jax.lax.dynamic_slice_in_dim(
+                    pad_rows(smask.astype(jnp.float32)), y0, band_h,
+                    axis=0)
+                return edge_loss + jnp.sum(adiff * sm_b) / denom
+
+            def weighted():
+                num_edge = jnp.sum(edge_mask).astype(jnp.float32)
+                num_bg = hw - num_edge
+                w_b = jnp.where(em_b > 0, num_bg / hw, num_edge / hw)
+                return jnp.sum(w_b * adiff) / hw
+
+            return jax.lax.switch(strategy_idx,
+                                  [whole, bg_edge_ratio, weighted])
+
+        def loss_fn(p_sh, sink):
+            # 1. project MY parameter shard
+            proj_sh = project_gaussians(
+                p_sh.means, p_sh.quats, jnp.exp(p_sh.scales),
+                jax.nn.sigmoid(p_sh.opacities[:, 0]), viewmat, K,
+                width, height, antialiased=antialiased, alive=alive_sh)
+            packed_sh = pack_gaussian_render_data(proj_sh)   # [N/d, 8]
+            # 2. all-gather the packed rows (+ binning metadata); the
+            #    gather's transpose reduce-scatters the cotangents back
+            packed = jax.lax.all_gather(packed_sh, axis, tiled=True)
+            depths = jax.lax.all_gather(proj_sh.depths, axis, tiled=True)
+            radii = jax.lax.all_gather(proj_sh.radii, axis, tiled=True)
+            proj = ProjectedGaussians(
+                means2d=packed[:, 3:5],
+                conics=packed[:, 0:3],
+                depths=depths, radii=radii,
+                opacities=jnp.exp(packed[:, 5]),
+                valid=packed[:, 6] > 0)
+            # 3. bin + composite MY tile band against the full set
+            out = rasterize_packed(
+                proj, packed, width, height, absgrad_sink=sink,
+                band_row0=row0, band_tile_rows=rows_per, **render_kwargs)
+            pred = jnp.clip(out.image, 0.0, 1.0)
+            return band_loss(pred), out
+
+        (proj_loss, out), (g_sh, gsink) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(p_sh, sink0)
+
+        # 4. reassemble full replicated grads: each device owns rows
+        #    [g0, g0+shard_n); slice-in + psum
+        def full(g_shard, like):
+            z = jnp.zeros_like(like)
+            return jax.lax.psum(
+                jax.lax.dynamic_update_slice_in_dim(z, g_shard, g0, 0),
+                axis)
+
+        gparams = jax.tree.map(full, g_sh, params)
+        stats = ProjGradStats(
+            max_tile=jax.lax.pmax(jnp.max(out.tile_counts), axis),
+            n_overflow=jax.lax.psum(
+                jnp.sum((out.tile_counts > mcfg.tile_dense_capacity)
+                        .astype(jnp.int32)), axis),
+            num_truncated=jax.lax.psum(out.num_truncated, axis),
+            num_pairs=(None if out.num_pairs is None
+                       else jax.lax.psum(out.num_pairs, axis)))
+        return (jax.lax.psum(proj_loss, axis), stats, gparams,
+                jax.lax.psum(gsink, axis))
+
+    return sharded
+
+
+def make_tp_epoch_fn(cfg: FrameworkConfig, width: int, height: int,
+                     backend: str, mesh: Mesh, axis: str = "gauss"):
+    """Full-semantics epoch program with Gaussian-axis-sharded renders."""
+    proj = make_tp_proj_grad_fn(cfg, width, height, backend, mesh, axis)
+    memo_extra = ("tp", axis, tuple(mesh.shape.items()))
+    return trainer_mod.make_epoch_fn(cfg, width, height, backend,
+                                     proj_grad_fn=proj,
+                                     memo_extra=memo_extra)

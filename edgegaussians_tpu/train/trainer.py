@@ -113,23 +113,27 @@ def _cfg_memo_key(cfg: FrameworkConfig, program: str = "epoch") -> str:
     return json.dumps(d, sort_keys=True, default=str)
 
 
-def make_epoch_fn(cfg: FrameworkConfig, width: int, height: int,
-                  backend: str):
-    """Build (or reuse) the jitted epoch function for a scene geometry."""
-    memo_key = ("epoch", _cfg_memo_key(cfg, "epoch"), width, height, backend)
-    if memo_key in _PROGRAM_MEMO:
-        return _PROGRAM_MEMO[memo_key]
-    mcfg = cfg.model
-    tcfg = cfg.training
-    pl_cfg = tcfg.loss.projection_losses
-    ol_cfg = tcfg.loss.orientation_losses
+class ProjGradStats(NamedTuple):
+    """Reduced per-render diagnostics returned by a proj-grad function
+    (device-count-independent so sharded and single-device renders share
+    the epoch program structure)."""
+    max_tile: jnp.ndarray        # max per-tile occupancy
+    n_overflow: jnp.ndarray      # tiles past the dense budget
+    num_truncated: jnp.ndarray   # Gaussians truncated by max_tiles_per_g
+    num_pairs: Optional[jnp.ndarray] = None   # true pair count (pair mode)
 
-    strat_before = _strategy_index(pl_cfg.loss_before_alternating)
-    strat_less = _strategy_index(pl_cfg.less_freq_loss)
-    strat_more = _strategy_index(pl_cfg.more_freq_loss)
-    sampling_ratio = max(int(pl_cfg.sampling_whole_num_epochs_ratio), 1)
-    num_nn = ol_cfg.dir_loss_num_nn
-    enforce = ol_cfg.dir_loss_enforce_method
+
+def make_proj_grad_fn(cfg: FrameworkConfig, width: int, height: int,
+                      backend: str):
+    """Single-device projection loss+grad for one view.
+
+    Signature contract (shared with the tile-sharded variant in
+    parallel/train_sharded.py):
+      (params, alive, viewmat, K, gt, edge_mask, strategy_idx, bg_ratio,
+       key) -> (loss, ProjGradStats, param_grads, sink_grads)
+    """
+    mcfg = cfg.model
+    pl_cfg = cfg.training.loss.projection_losses
     render_kwargs = dict(
         tile_size=mcfg.tile_size, capacity=mcfg.tile_gaussian_capacity,
         dense_capacity=mcfg.tile_dense_capacity,
@@ -148,6 +152,56 @@ def make_epoch_fn(cfg: FrameworkConfig, width: int, height: int,
         ]
         return jax.lax.switch(strategy_idx, branches)
 
+    def proj_grad(params, alive, viewmat, K, gt, edge_mask, strategy_idx,
+                  bg_ratio, key):
+        sink0 = jnp.zeros((params.means.shape[0], 2), dtype=jnp.float32)
+
+        def loss_fn(p: GaussianParams, sink):
+            out = render_view(p, alive, viewmat, K, width, height,
+                              absgrad_sink=sink, **render_kwargs)
+            pred = jnp.clip(out.image, 0.0, 1.0)   # edge_gs.py:279
+            l = projection_loss(pred, gt, edge_mask, strategy_idx,
+                                bg_ratio, key)
+            return l, out
+
+        (proj_loss, out), (gparams, gsink) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(params, sink0)
+        stats = ProjGradStats(
+            max_tile=jnp.max(out.tile_counts),
+            n_overflow=jnp.sum((out.tile_counts > mcfg.tile_dense_capacity)
+                               .astype(jnp.int32)),
+            num_truncated=out.num_truncated,
+            num_pairs=out.num_pairs)
+        return proj_loss, stats, gparams, gsink
+
+    return proj_grad
+
+
+def make_epoch_fn(cfg: FrameworkConfig, width: int, height: int,
+                  backend: str, proj_grad_fn=None, memo_extra=None):
+    """Build (or reuse) the jitted epoch function for a scene geometry.
+
+    ``proj_grad_fn`` overrides the per-view projection loss+grad
+    computation (see make_proj_grad_fn for the contract) — the hook the
+    tile-sharded multi-chip trainer plugs into; ``memo_extra`` must then
+    distinguish the program (e.g. the mesh shape)."""
+    memo_key = ("epoch", _cfg_memo_key(cfg, "epoch"), width, height,
+                backend, memo_extra)
+    if memo_key in _PROGRAM_MEMO:
+        return _PROGRAM_MEMO[memo_key]
+    tcfg = cfg.training
+    pl_cfg = tcfg.loss.projection_losses
+    ol_cfg = tcfg.loss.orientation_losses
+
+    strat_before = _strategy_index(pl_cfg.loss_before_alternating)
+    strat_less = _strategy_index(pl_cfg.less_freq_loss)
+    strat_more = _strategy_index(pl_cfg.more_freq_loss)
+    sampling_ratio = max(int(pl_cfg.sampling_whole_num_epochs_ratio), 1)
+    num_nn = ol_cfg.dir_loss_num_nn
+    enforce = ol_cfg.dir_loss_enforce_method
+    if proj_grad_fn is None:
+        proj_grad_fn = make_proj_grad_fn(cfg, width, height, backend)
+
     def view_step(carry, view_idx, *, epoch, images, edge_masks, viewmats,
                   Ks, lrs, lambda_proj, bg_ratio, apply_dir, apply_ratio,
                   check_sampling):
@@ -161,21 +215,10 @@ def make_epoch_fn(cfg: FrameworkConfig, width: int, height: int,
         alt = jnp.where(ts.step % sampling_ratio == 0, strat_less, strat_more)
         strategy_idx = jnp.where(check_sampling, alt, strat_before)
 
-        gt = images[view_idx]
-        edge_mask = edge_masks[view_idx]
-        sink0 = jnp.zeros((gs.capacity, 2), dtype=jnp.float32)
-
-        def loss_fn(params: GaussianParams, sink):
-            out = render_view(params, gs.alive, viewmats[view_idx],
-                              Ks[view_idx], width, height,
-                              absgrad_sink=sink, **render_kwargs)
-            pred = jnp.clip(out.image, 0.0, 1.0)   # edge_gs.py:279
-            l = projection_loss(pred, gt, edge_mask, strategy_idx,
-                                bg_ratio, k_bg)
-            return l, out
-
-        (proj_loss, out), (gparams, gsink) = jax.value_and_grad(
-            loss_fn, argnums=(0, 1), has_aux=True)(gs.params, sink0)
+        proj_loss, out, gparams, gsink = proj_grad_fn(
+            gs.params, gs.alive, viewmats[view_idx], Ks[view_idx],
+            images[view_idx], edge_masks[view_idx], strategy_idx,
+            bg_ratio, k_bg)
 
         # the reference backprops lambda * loss but logs/accumulates the raw
         # loss (train_gaussians.py:98-101)
@@ -230,10 +273,8 @@ def make_epoch_fn(cfg: FrameworkConfig, width: int, height: int,
 
         gs = gs._replace(params=params)
         ts = TrainState(gaussians=gs, opt=opt, step=step, key=k_next)
-        max_tiles = jnp.maximum(max_tiles, jnp.max(out.tile_counts))
-        n_ovf = jnp.sum((out.tile_counts > mcfg.tile_dense_capacity)
-                        .astype(jnp.int32))
-        max_ovf = jnp.maximum(max_ovf, n_ovf)
+        max_tiles = jnp.maximum(max_tiles, out.max_tile)
+        max_ovf = jnp.maximum(max_ovf, out.n_overflow)
         max_trunc = jnp.maximum(max_trunc, out.num_truncated)
         if out.num_pairs is not None:
             max_pairs = jnp.maximum(max_pairs, out.num_pairs)
@@ -458,13 +499,16 @@ def train(scene, seed_points: np.ndarray, cfg: FrameworkConfig,
           log_dir: Optional[str] = None,
           initial_state: Optional[TrainState] = None,
           profile_dir: Optional[str] = None,
-          profile_epochs: int = 1) -> TrainState:
+          profile_epochs: int = 1,
+          mesh=None) -> TrainState:
     """Full training run on one scene (train_gaussians.py:144-222).
 
     ``scene`` is a SceneViews; returns the trained state. Checkpoints are
     written as .npz (params + opt + step) when ``checkpoint_dir`` is set;
     TensorBoard scalars/images go to ``log_dir`` when set (the reference
     logs the same quantities — train_gaussians.py:96,136-139,190).
+    ``mesh`` (a jax Mesh with a 'tiles' axis) scales every render+backward
+    across devices with identical semantics (parallel/train_sharded.py).
     """
     if backend == "auto":
         backend = cfg.model.rasterizer_backend
@@ -493,7 +537,13 @@ def train(scene, seed_points: np.ndarray, cfg: FrameworkConfig,
         ts = init_train_state(seed_points, cfg, capacity=start_cap)
     else:
         ts = init_train_state(seed_points, cfg)
-    epoch_fn = make_epoch_fn(cfg, scene.width, scene.height, backend)
+    if mesh is not None:
+        from edgegaussians_tpu.parallel.train_sharded import \
+            make_sharded_epoch_fn
+        epoch_fn = make_sharded_epoch_fn(cfg, scene.width, scene.height,
+                                         backend, mesh)
+    else:
+        epoch_fn = make_epoch_fn(cfg, scene.width, scene.height, backend)
     density_fn = make_density_fn(cfg)
     grow_at = cfg.model.staged_capacity_grow_threshold
 
@@ -579,24 +629,52 @@ def train(scene, seed_points: np.ndarray, cfg: FrameworkConfig,
     return ts
 
 
+CHECKPOINT_SCHEMA = 1
+
+
+def _ckpt_field_key(path) -> str:
+    """Stable npz key for a TrainState leaf: its pytree key path."""
+    return "f:" + jax.tree_util.keystr(path).replace("/", "_")
+
+
 def save_checkpoint(ts: TrainState, out_dir: str, epoch: int) -> str:
     """Checkpoint params + optimizer state + step (richer than the
-    reference's params-only .pth — SURVEY §5.4)."""
+    reference's params-only .pth — SURVEY §5.4).
+
+    Fields are stored under their pytree key paths with a schema tag, so a
+    TrainState/OptState refactor changes key names (load fails loudly)
+    instead of silently permuting positional leaves."""
     os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, f"epoch{epoch}.npz")
     if os.path.exists(path):
         path = os.path.join(out_dir,
                             f"epoch{epoch}_{time.strftime('%m%d%H%M%S')}.npz")
-    flat = {}
-    leaves, treedef = jax.tree.flatten(ts)
-    for i, leaf in enumerate(leaves):
-        flat[f"leaf_{i}"] = np.asarray(leaf)
+    flat = {"__schema__": np.int32(CHECKPOINT_SCHEMA)}
+    for p, leaf in jax.tree_util.tree_flatten_with_path(ts)[0]:
+        flat[_ckpt_field_key(p)] = np.asarray(leaf)
     np.savez(path, **flat)
     return path
 
 
 def load_checkpoint(path: str, template: TrainState) -> TrainState:
+    """Restore a checkpoint into the template's structure.
+
+    Schema >= 1 files match leaves by pytree key path and raise KeyError on
+    any missing field; legacy (round-1, positional ``leaf_{i}``) files load
+    through the old order as a compatibility shim."""
     data = np.load(path)
+    if "__schema__" in data.files:
+        keyed, treedef = jax.tree_util.tree_flatten_with_path(template)
+        missing = [
+            _ckpt_field_key(p) for p, _ in keyed
+            if _ckpt_field_key(p) not in data.files]
+        if missing:
+            raise KeyError(
+                f"checkpoint {path} lacks fields {missing}; it was written "
+                "by an incompatible TrainState version")
+        leaves = [jnp.asarray(data[_ckpt_field_key(p)]) for p, _ in keyed]
+        return jax.tree.unflatten(treedef, leaves)
+    # legacy positional format
     leaves, treedef = jax.tree.flatten(template)
     new_leaves = [jnp.asarray(data[f"leaf_{i}"]) for i in range(len(leaves))]
     return jax.tree.unflatten(treedef, new_leaves)

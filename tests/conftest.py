@@ -27,6 +27,35 @@ if not os.environ.get("EG_TPU_TESTS"):
 import numpy as np
 import pytest
 
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _ensure_native_built():
+    """Build the C++ KD-tree extension so tests/test_native.py parity runs
+    for real instead of silently skipping (VERDICT r1 item 7). Skips only
+    when no C++ toolchain exists; a toolchain present but failing build is
+    a hard error."""
+    try:
+        from edgegaussians_tpu.native import kdtree  # noqa: F401
+        return
+    except Exception:
+        pass
+    import shutil
+    import subprocess
+    import sys
+    if shutil.which("g++") is None and shutil.which("cc") is None:
+        return
+    r = subprocess.run(
+        [sys.executable, "setup.py", "build_ext", "--inplace"],
+        cwd=_REPO_ROOT, capture_output=True, text=True, timeout=600)
+    if r.returncode != 0:
+        raise RuntimeError(
+            "native kdtree extension build failed (toolchain present):\n"
+            + r.stderr[-2000:])
+
+
+_ensure_native_built()
+
 
 @pytest.fixture
 def rng():

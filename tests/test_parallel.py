@@ -147,8 +147,8 @@ def test_dp_raw_grads_match_sequential_exactly():
     with mesh:
         g, l, a = dp_step.sharded_grads(
             ts.gaussians.params, ts.gaussians.alive, images, edge_masks,
-            viewmats, Ks, jax.random.PRNGKey(0), jnp.float32(1.0),
-            jnp.float32(1.0))
+            viewmats, Ks, jax.random.PRNGKey(0), jnp.int32(0),
+            jnp.float32(1.0), jnp.float32(1.0))
 
     def seq(params):
         total = 0.0

@@ -241,3 +241,48 @@ def test_program_memo_reuses_epoch_fn():
     cfg6 = copy.deepcopy(cfg)
     cfg6.training.num_epochs = cfg.training.num_epochs + 7
     assert trainer.make_epoch_fn(cfg6, 64, 48, "jax") is not f1
+
+
+def test_checkpoint_schema_named_fields(tmp_path):
+    """Schema-1 checkpoints store leaves by pytree key path; loading
+    verifies field names (no positional leaf_{i} silently permuting after
+    a TrainState refactor) and legacy positional files still load."""
+    import jax
+    import numpy as np
+    from edgegaussians_tpu.config import FrameworkConfig
+    from edgegaussians_tpu.train import trainer
+
+    cfg = FrameworkConfig()
+    cfg.model.max_num_gaussians = 32
+    seeds = np.random.default_rng(0).uniform(
+        -0.5, 0.5, (16, 3)).astype(np.float32)
+    ts = trainer.init_train_state(seeds, cfg)
+
+    path = trainer.save_checkpoint(ts, str(tmp_path), 3)
+    data = np.load(path)
+    assert int(data["__schema__"]) == trainer.CHECKPOINT_SCHEMA
+    named = [k for k in data.files if k.startswith("f:")]
+    assert any("means" in k for k in named)
+
+    ts2 = trainer.load_checkpoint(path, ts)
+    np.testing.assert_array_equal(np.array(ts2.gaussians.params.means),
+                                  np.array(ts.gaussians.params.means))
+
+    # legacy positional file loads through the shim
+    legacy = tmp_path / "legacy.npz"
+    leaves, _ = jax.tree.flatten(ts)
+    np.savez(legacy, **{f"leaf_{i}": np.asarray(x)
+                        for i, x in enumerate(leaves)})
+    ts3 = trainer.load_checkpoint(str(legacy), ts)
+    np.testing.assert_array_equal(np.array(ts3.gaussians.params.quats),
+                                  np.array(ts.gaussians.params.quats))
+
+    # a renamed/missing field must fail loudly, not permute silently
+    bad = {k: data[k] for k in data.files}
+    means_key = [k for k in named if "means" in k][0]
+    bad[means_key.replace("means", "renamed")] = bad.pop(means_key)
+    badpath = tmp_path / "bad.npz"
+    np.savez(badpath, **bad)
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        trainer.load_checkpoint(str(badpath), ts)
