@@ -75,6 +75,11 @@ def main():
     ap.add_argument("--synthetic", action="store_true",
                     help="bench the dense synthetic cloud instead of the "
                          "trained ABC scene")
+    ap.add_argument("--pair_budget", type=int, default=None,
+                    help="override the sorted-pair-prefix budget "
+                         "(0 disables; default: ABC_TILES value)")
+    ap.add_argument("--m", type=int, default=None,
+                    help="override max_tiles_per_gaussian")
     args = ap.parse_args()
 
     import jax
@@ -90,6 +95,10 @@ def main():
     use_synthetic = args.synthetic or not os.path.exists(FIXTURE)
     (means, quats, scales, opac, viewmats, Ks, width, height, tiles,
      metric) = synthetic_scene() if use_synthetic else fixture_scene()
+    if args.pair_budget is not None:
+        tiles = dict(tiles, pair_budget=args.pair_budget)
+    if args.m is not None:
+        tiles = dict(tiles, max_tiles_per_gaussian=args.m)
     target = jnp.zeros((height, width), jnp.float32)
 
     def loss_fn(m, q, s, o, viewmat, K):

@@ -607,6 +607,12 @@ def train(scene, seed_points: np.ndarray, cfg: FrameworkConfig,
                       if stats.max_pairs is not None else "")
                    + f"px/s={px_per_epoch / dt / 1e6:.1f}M "
                    f"t={now - t0:.1f}s")
+        if (cfg.model.tile_pair_budget and stats.max_pairs is not None
+                and int(stats.max_pairs) > cfg.model.tile_pair_budget):
+            log_fn(f"WARNING: epoch {epoch}: {int(stats.max_pairs)} "
+                   f"(tile, Gaussian) pairs exceed tile_pair_budget="
+                   f"{cfg.model.tile_pair_budget}; pairs past the budget "
+                   "are DROPPED from renders — raise the budget")
         if writer is not None:
             writer.add_scalar("Projection loss", float(stats.avg_loss),
                               epoch)

@@ -1,0 +1,98 @@
+"""DTU-scale end-to-end run on a synthetic scene (VERDICT r1 item 6).
+
+The DTU workload (configs/DTU.json) differs from ABC in every scaling
+dimension: 1600x1200 images, 20k SfM seed points, 131072 max capacity with
+staged growth, 500 epochs. Real DTU data is not bundled, so this script
+generates a DTU-shaped synthetic scan (edge wireframe rendered to
+detector-style edge maps + exact parametric GT), writes the DTU-layout
+``sparse_sfm_points.txt``, patches configs/DTU.json onto it, and drives
+train -> fit_edges -> evaluate. Records wall-clock + metrics for
+docs/RESULTS.md.
+
+Usage (TPU):
+    JAX_PLATFORMS=axon PYTHONPATH=/root/.axon_site \
+        python scripts/dtu_scale_run.py [--epochs 500] [--views 30]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+BASE = "synthetic_data/DTU_synth"
+SCAN = "dtu_s0"
+
+
+def generate(args):
+    from edgegaussians_tpu.data import synthetic
+    from edgegaussians_tpu.io import ply as ply_io
+
+    paths = synthetic.generate_scene(
+        BASE, SCAN, seed=7, n_views=args.views, width=args.width,
+        height=args.height, n_lines=args.lines, n_curves=args.curves,
+        edge_detector="PidiNet", sigma_px=1.2)
+
+    # DTU layout: sparse SfM seeds as a whitespace xyz .txt — sample the
+    # GT edge cloud + noise, the shape of a real SfM sparse cloud
+    gt_ply = paths["gt_ply"] if "gt_ply" in paths else os.path.join(
+        BASE, "groundtruth", "sampled_pts", f"{SCAN}_0.005.ply")
+    pts = ply_io.read_point_cloud(gt_ply)
+    rng = np.random.default_rng(11)
+    take = rng.choice(len(pts), size=min(4000, len(pts)), replace=True)
+    seeds = pts[take] + rng.normal(0, 0.01, (len(take), 3))
+    np.savetxt(os.path.join(BASE, "data", SCAN, "sparse_sfm_points.txt"),
+               seeds, fmt="%.6f")
+    return paths
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=500)
+    ap.add_argument("--views", type=int, default=30)
+    ap.add_argument("--width", type=int, default=1600)
+    ap.add_argument("--height", type=int, default=1200)
+    ap.add_argument("--lines", type=int, default=16)
+    ap.add_argument("--curves", type=int, default=8)
+    ap.add_argument("--skip-generate", action="store_true")
+    ap.add_argument("--backend", type=str, default="auto")
+    args = ap.parse_args()
+
+    if not args.skip_generate:
+        print("generating DTU-shaped synthetic scan...")
+        generate(args)
+
+    cfg = json.load(open("configs/DTU.json"))
+    cfg["data"]["base_dir"] = f"{BASE}/data/"
+    cfg["data"]["edge_detection_method"] = "PidiNet"
+    cfg["training"]["num_epochs"] = args.epochs
+    cfg["output"]["output_dir"] = "output_synth/DTU_synth/"
+    cfg_path = "/tmp/dtu_synth_cfg.json"
+    json.dump(cfg, open(cfg_path, "w"))
+
+    from edgegaussians_tpu.cli import evaluate as eval_cli
+    from edgegaussians_tpu.cli import fit_edges as fit_cli
+    from edgegaussians_tpu.cli import train as train_cli
+
+    t0 = time.time()
+    train_cli.main(["--config_file", cfg_path, "--scene_name", SCAN,
+                    "--force_rerun", "--backend", args.backend])
+    t_train = time.time() - t0
+    print(f"[dtu_scale] training wall-clock: {t_train:.1f} s")
+
+    fit_cli.main(["--config_file", cfg_path, "--scene_name", SCAN])
+    exp = f"{cfg['output']['exp_name']}_PidiNet"
+    eval_cli.main(["--scan_names", SCAN,
+                   "--gt_base_dir", f"{BASE}/groundtruth",
+                   "--output_base_dir",
+                   os.path.join(cfg["output"]["output_dir"], exp),
+                   "--use_parametric_edges"])
+    print(f"[dtu_scale] done; train={t_train:.1f}s")
+
+
+if __name__ == "__main__":
+    main()
