@@ -80,6 +80,8 @@ def main():
                          "(0 disables; default: ABC_TILES value)")
     ap.add_argument("--m", type=int, default=None,
                     help="override max_tiles_per_gaussian")
+    ap.add_argument("--occupancy_sort", type=int, default=None,
+                    help="override tile occupancy sorting (0/1)")
     args = ap.parse_args()
 
     import jax
@@ -99,6 +101,8 @@ def main():
         tiles = dict(tiles, pair_budget=args.pair_budget)
     if args.m is not None:
         tiles = dict(tiles, max_tiles_per_gaussian=args.m)
+    if args.occupancy_sort is not None:
+        tiles = dict(tiles, occupancy_sort=bool(args.occupancy_sort))
     target = jnp.zeros((height, width), jnp.float32)
 
     def loss_fn(m, q, s, o, viewmat, K):

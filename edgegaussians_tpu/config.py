@@ -123,6 +123,11 @@ class ModelConfig:
     # pairs past it are dropped from the render like tiles past the
     # overflow budget.
     tile_pair_budget: int = 0
+    # Order compositor frame rows by descending tile occupancy: the kernels
+    # predicate per TILE_BLOCK on the block max, so homogeneous blocks cut
+    # predicated slot work ~2x on sparse edge scenes. Bitwise-identical
+    # renders (tests/test_rasterize.py).
+    tile_occupancy_sort: bool = True
     # Rasterizer tile size in pixels (reference BLOCK_WIDTH=16, edge_gs.py:233).
     tile_size: int = 16
     # 'pallas' on TPU, 'jax' pure-XLA fallback, 'reference' per-pixel oracle.

@@ -273,11 +273,32 @@ def _frame_shape(bins2, k1: int, k2: int):
     return bins2.ranks1.shape[1], bins2.ranks2.shape[1]
 
 
+def _ovf_take(x, bins2):
+    """Level-2 rows of a FRAME-ordered [T,...] array: under occupancy
+    sorting the overflow tiles are the first t2 frame rows (contiguous
+    slice); otherwise gather by original tile id."""
+    t2 = bins2.ovf_ids.shape[0]
+    if bins2.tile_perm is not None:
+        return x[:t2]
+    return x[bins2.ovf_ids]
+
+
+def _ovf_add(images, img2, bins2):
+    t2 = bins2.ovf_ids.shape[0]
+    if bins2.tile_perm is not None:
+        return images.at[:t2].add(img2)
+    return images.at[bins2.ovf_ids].add(img2)
+
+
 def _two_level_fwd_impl(packed_sorted, bins2, origins, basis, backend: str,
                         k1: int = 0, k2: int = 0):
-    """Forward pass; returns (images, residuals-for-bwd)."""
+    """Forward pass; returns (images, residuals-for-bwd).
+
+    ``origins`` must be FRAME-row-ordered (``origins[tile_perm]`` under
+    occupancy sorting); the returned images are frame-ordered too — the
+    caller unpermutes (ops/rasterize.py).
+    """
     k1, k2 = _frame_shape(bins2, k1, k2)
-    ovf_ids = bins2.ovf_ids
     counts1, counts2 = bins2.counts1, bins2.counts2
     T = counts1.shape[0]
 
@@ -288,20 +309,20 @@ def _two_level_fwd_impl(packed_sorted, bins2, origins, basis, backend: str,
 
     kk2 = jnp.arange(k2, dtype=jnp.int32)[None, :]
     validf2 = (kk2 < counts2[:, None]).astype(jnp.float32)
-    feats2 = build_tile_features(g2, origins[ovf_ids], validf2)
+    feats2 = build_tile_features(g2, _ovf_take(origins, bins2), validf2)
 
     if backend == "pallas":
         from edgegaussians_tpu.ops import pallas_raster_v2 as v2
         img1, tout1 = v2.composite_fwd_seg(feats1, counts1, basis)
-        tin2 = tout1[ovf_ids]
+        tin2 = _ovf_take(tout1, bins2)
         img2, _ = v2.composite_fwd_seg(feats2, counts2, basis, tin2)
     else:
         ones = jnp.ones((T, basis.shape[1]), jnp.float32)
         img1, tout1 = _composite_jax_seg(feats1, basis, ones)
-        tin2 = tout1[ovf_ids]
+        tin2 = _ovf_take(tout1, bins2)
         img2, _ = _composite_jax_seg(feats2, basis, tin2)
 
-    images = img1.at[ovf_ids].add(img2)
+    images = _ovf_add(img1, img2, bins2)
     res = (g1, g2, validf1, validf2, img1, tin2, images)
     return images, res
 
@@ -335,32 +356,34 @@ def _tl_fwd(packed_sorted, bins2, origins, basis, order, sink, backend,
 def _tl_bwd(backend, k1, k2, saved, g):
     n, bins2, origins, basis, order, res = saved
     (g1, g2, validf1, validf2, img1, tin2, images) = res
-    ovf_ids, counts1, counts2 = bins2.ovf_ids, bins2.counts1, bins2.counts2
+    counts1, counts2 = bins2.counts1, bins2.counts2
+    origins2 = _ovf_take(origins, bins2)
 
     if backend == "pallas":
         from edgegaussians_tpu.ops import pallas_raster_v2 as v2
         feats1 = build_tile_features(g1, origins, validf1)
-        feats2 = build_tile_features(g2, origins[ovf_ids], validf2)
+        feats2 = build_tile_features(g2, origins2, validf2)
         dfeats1 = v2.composite_bwd_seg(
             feats1, counts1, basis, g, None, None, images)
         dfeats2 = v2.composite_bwd_seg(
-            feats2, counts2, basis, g[ovf_ids], tin2, img1[ovf_ids],
-            images[ovf_ids])
+            feats2, counts2, basis, _ovf_take(g, bins2), tin2,
+            _ovf_take(img1, bins2), _ovf_take(images, bins2))
         _, vjp1 = jax.vjp(
             lambda a: build_tile_features(a, origins, validf1), g1)
         (dg1,) = vjp1(dfeats1)
         _, vjp2 = jax.vjp(
-            lambda a: build_tile_features(a, origins[ovf_ids], validf2), g2)
+            lambda a: build_tile_features(a, origins2, validf2), g2)
         (dg2,) = vjp2(dfeats2)
     else:
         def inner(a1, a2):
             feats1 = build_tile_features(a1, origins, validf1)
-            feats2 = build_tile_features(a2, origins[ovf_ids], validf2)
+            feats2 = build_tile_features(a2, origins2, validf2)
             T = bins2.counts1.shape[0]
             ones = jnp.ones((T, basis.shape[1]), jnp.float32)
             i1, tout1 = _composite_jax_seg(feats1, basis, ones)
-            i2, _ = _composite_jax_seg(feats2, basis, tout1[ovf_ids])
-            return i1.at[ovf_ids].add(i2)
+            i2, _ = _composite_jax_seg(feats2, basis,
+                                       _ovf_take(tout1, bins2))
+            return _ovf_add(i1, i2, bins2)
 
         _, vjp_fn = jax.vjp(inner, g1, g2)
         dg1, dg2 = vjp_fn(g)

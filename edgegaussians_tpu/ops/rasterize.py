@@ -62,6 +62,7 @@ def rasterize(
                                  # build + backward reduction (two-level
                                  # only; see KERNELS.md §5.2)
     backend: str = "jax",
+    occupancy_sort: bool = False,
     antialiased: bool = True,
     near_plane: float = 0.01,
     far_plane: float = 1e10,
@@ -95,6 +96,7 @@ def rasterize(
         capacity=capacity, dense_capacity=dense_capacity,
         overflow_tiles=overflow_tiles, pair_budget=pair_budget,
         max_tiles_per_gaussian=max_tiles_per_gaussian, backend=backend,
+        occupancy_sort=occupancy_sort,
         absgrad_sink=absgrad_sink, band_row0=band_row0,
         band_tile_rows=band_tile_rows)
 
@@ -112,6 +114,7 @@ def rasterize_packed(
     pair_budget: int = 0,
     max_tiles_per_gaussian: int = 64,
     backend: str = "jax",
+    occupancy_sort: bool = False,
     absgrad_sink: Optional[jnp.ndarray] = None,
     band_row0: Optional[jnp.ndarray] = None,
     band_tile_rows: Optional[int] = None,
@@ -155,11 +158,18 @@ def rasterize_packed(
         bins2 = tiles_mod.bin_gaussians_two_level(
             jax.lax.stop_gradient(proj), width, height, tile_size,
             k1, k2, t2, max_tiles_per_gaussian=max_tiles_per_gaussian,
-            pair_budget=pair_budget)
+            pair_budget=pair_budget, occupancy_sort=occupancy_sort)
         packed_sorted = packed[bins2.order]               # [N,8] cheap permute
+        origins_f = (origins[bins2.tile_perm]
+                     if bins2.tile_perm is not None else origins)
         tile_imgs = tile_render_two_level(
-            packed_sorted, bins2, origins, basis,
+            packed_sorted, bins2, origins_f, basis,
             bins2.order, absgrad_sink, backend, k1, k2)
+        if bins2.tile_perm is not None:
+            # frame rows -> tile order (scatter by the forward permutation;
+            # autodiff transposes this into the matching gather)
+            tile_imgs = jnp.zeros_like(tile_imgs).at[bins2.tile_perm].set(
+                tile_imgs, unique_indices=True)
         tile_counts = bins2.counts
         num_truncated = bins2.num_truncated
         num_pairs = bins2.num_pairs

@@ -72,8 +72,8 @@ class TileBinsTwoLevel(NamedTuple):
     T*k1 + t2*k2. See ``_pair_prefix_tables``.
     """
     ranks1: jnp.ndarray    # [T,k1] int32 depth ranks (None in pair mode)
-    counts: jnp.ndarray    # [T] int32 true per-tile occupancy
-    counts1: jnp.ndarray   # [T] int32 = min(counts, k1)
+    counts: jnp.ndarray    # [T] int32 true per-tile occupancy (tile order)
+    counts1: jnp.ndarray   # [T] int32 = min(counts, k1) (FRAME row order)
     ovf_ids: jnp.ndarray   # [t2] int32 busiest-tile indices (top-k counts)
     counts2: jnp.ndarray   # [t2] int32 = clip(counts[ovf] - k1, 0, k2)
     ranks2: jnp.ndarray    # [t2,k2] int32 depth ranks (None in pair mode)
@@ -84,6 +84,10 @@ class TileBinsTwoLevel(NamedTuple):
     pair_ranks: jnp.ndarray = None  # [B] int32 depth rank of sorted pair p
     num_pairs: jnp.ndarray = None   # scalar int32 true pair count (audit
                                     # vs the static B)
+    tile_perm: jnp.ndarray = None   # [T] int32 occupancy sort: FRAME row i
+                                    # holds tile perm[i] (None = frame rows
+                                    # are tile order). The overflow list is
+                                    # then exactly perm[:t2].
 
 
 def tile_grid(width: int, height: int, tile_size: int):
@@ -140,12 +144,13 @@ def bin_gaussians(proj: ProjectedGaussians, width: int, height: int,
 
 @functools.partial(jax.jit, static_argnames=(
     "width", "height", "tile_size", "k1", "k2", "t2",
-    "max_tiles_per_gaussian", "pair_budget"))
+    "max_tiles_per_gaussian", "pair_budget", "occupancy_sort"))
 def bin_gaussians_two_level(proj: ProjectedGaussians, width: int,
                             height: int, tile_size: int, k1: int, k2: int,
                             t2: int,
                             max_tiles_per_gaussian: int = MAX_TILES_PER_GAUSSIAN,
-                            pair_budget: int = 0
+                            pair_budget: int = 0,
+                            occupancy_sort: bool = False
                             ) -> TileBinsTwoLevel:
     """Two-level binning: dense k1 ranks for every tile plus k2 overflow
     ranks for the ``t2`` busiest tiles (see :class:`TileBinsTwoLevel`).
@@ -159,28 +164,55 @@ def bin_gaussians_two_level(proj: ProjectedGaussians, width: int,
     B rows instead of T*k1 + t2*k2. B must cover every real pair
     (``num_pairs`` audits this); pairs past the budget are dropped from the
     render like tiles past the overflow budget.
+
+    ``occupancy_sort`` orders the FRAME rows by descending per-tile count
+    (``tile_perm``). The compositor kernels predicate per TILE_BLOCK on the
+    block's max occupancy, so occupancy-homogeneous blocks cut the
+    predicated slot work ~2x on real edge scenes (measured on the ABC
+    fixture: 1.27M -> 0.60M chunk-rounded slots); the overflow list
+    becomes the first t2 frame rows, making the level-2 transmittance
+    hand-off a contiguous slice instead of a gather.
     """
     n = proj.depths.shape[0]
+    T = tile_grid(width, height, tile_size)[2]
     sorted_keys, starts, counts, order, num_trunc = _sort_pairs(
         proj, width, height, tile_size, max_tiles_per_gaussian)
 
-    ovf_counts, ovf_ids = jax.lax.top_k(counts, t2)
-    ovf_ids = ovf_ids.astype(jnp.int32)
+    if occupancy_sort:
+        # descending-count permutation; its prefix IS the overflow list
+        _, perm = jax.lax.sort_key_val(
+            -counts, jnp.arange(T, dtype=jnp.int32))
+        ovf_ids = perm[:t2]
+        ovf_counts = counts[ovf_ids]
+        starts_f = starts[:-1][perm]          # frame-row-ordered run starts
+        counts_f = counts[perm]
+        inv_perm = jnp.zeros((T,), jnp.int32).at[perm].set(
+            jnp.arange(T, dtype=jnp.int32), unique_indices=True)
+    else:
+        perm = None
+        ovf_counts, ovf_ids = jax.lax.top_k(counts, t2)
+        ovf_ids = ovf_ids.astype(jnp.int32)
+        starts_f = starts[:-1]
+        counts_f = counts
+        inv_perm = None
+
     counts2 = jnp.clip(ovf_counts - k1, 0, k2)
-    common = dict(counts=counts, counts1=jnp.minimum(counts, k1),
+    common = dict(counts=counts, counts1=jnp.minimum(counts_f, k1),
                   ovf_ids=ovf_ids, counts2=counts2, order=order,
                   num_truncated=num_trunc,
-                  num_pairs=starts[-1].astype(jnp.int32))
+                  num_pairs=starts[-1].astype(jnp.int32),
+                  tile_perm=perm)
 
     if pair_budget > 0:
         pair_rows, pair_ranks, _ = _pair_prefix_tables(
-            sorted_keys, starts, counts, ovf_ids, k1, k2, pair_budget)
+            sorted_keys, starts, counts, ovf_ids, k1, k2, pair_budget,
+            inv_perm=inv_perm)
         return TileBinsTwoLevel(
             ranks1=None, ranks2=None, pair_rows=pair_rows,
             pair_ranks=pair_ranks, **common)
 
     kk1 = jnp.arange(k1, dtype=jnp.int32)[None, :]
-    ranks1 = _decode_ranks(sorted_keys, starts[:-1, None] + kk1, n)
+    ranks1 = _decode_ranks(sorted_keys, starts_f[:, None] + kk1, n)
     starts2 = starts[:-1][ovf_ids] + k1                           # [t2]
     kk2 = jnp.arange(k2, dtype=jnp.int32)[None, :]
     ranks2 = _decode_ranks(sorted_keys, starts2[:, None] + kk2, n)
@@ -195,13 +227,14 @@ PAIR_DROP_OFF = jnp.int32(2 ** 30)
 
 
 def _pair_prefix_tables(sorted_keys, starts, counts, ovf_ids,
-                        k1: int, k2: int, budget: int):
+                        k1: int, k2: int, budget: int, inv_perm=None):
     """Map each sorted-pair position p < budget to its dense-frame row.
 
     Within tile t's run [s_t, s_{t+1}) of the sorted keys, the frame row is
-    p plus a per-segment constant:
+    p plus a per-segment constant (f(t) = the tile's frame row — t itself,
+    or ``inv_perm[t]`` under occupancy sorting):
 
-      slots [0, k1):        row = t*k1 + (p - s_t)           -> p + offA_t
+      slots [0, k1):        row = f(t)*k1 + (p - s_t)         -> p + offA_t
       slots [k1, k1+k2):    row = T*k1 + j*k2 + (p - s_t - k1)
                             (j = position in the overflow list; tiles not
                             in the list drop these pairs)  -> p + offB_t
@@ -222,10 +255,16 @@ def _pair_prefix_tables(sorted_keys, starts, counts, ovf_ids,
     B = budget
 
     tt = jnp.arange(T, dtype=jnp.int32)
-    off_a = tt * k1 - s
-    ovf_pos = jnp.full((T,), -1, jnp.int32).at[ovf_ids].set(
-        jnp.arange(t2, dtype=jnp.int32), mode="drop")
-    has_ovf = ovf_pos >= 0
+    frame_of = tt if inv_perm is None else inv_perm
+    off_a = frame_of * k1 - s
+    if inv_perm is None:
+        ovf_pos = jnp.full((T,), -1, jnp.int32).at[ovf_ids].set(
+            jnp.arange(t2, dtype=jnp.int32), mode="drop")
+        has_ovf = ovf_pos >= 0
+    else:
+        # occupancy sort: overflow list = frame rows [0, t2)
+        has_ovf = frame_of < t2
+        ovf_pos = jnp.where(has_ovf, frame_of, -1)
     off_b = jnp.where(has_ovf, T * k1 + ovf_pos * k2 - k1 - s,
                       PAIR_DROP_OFF)
 

@@ -49,6 +49,7 @@ def make_dp_train_step(cfg: FrameworkConfig, width: int, height: int,
         dense_capacity=mcfg.tile_dense_capacity,
         overflow_tiles=mcfg.tile_overflow_tiles,
         pair_budget=mcfg.tile_pair_budget,
+        occupancy_sort=mcfg.tile_occupancy_sort,
         backend=backend, antialiased=(mcfg.rasterize_mode == "antialiased"))
     strat_before = losses_strategy_index(pl_cfg.loss_before_alternating)
     strat_less = losses_strategy_index(pl_cfg.less_freq_loss)

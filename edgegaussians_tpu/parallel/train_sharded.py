@@ -83,6 +83,7 @@ def make_sharded_proj_grad_fn(cfg: FrameworkConfig, width: int, height: int,
         dense_capacity=mcfg.tile_dense_capacity,
         overflow_tiles=min(ovf_full, rows_per * ntx),
         pair_budget=mcfg.tile_pair_budget,
+        occupancy_sort=mcfg.tile_occupancy_sort,
         max_tiles_per_gaussian=mcfg.max_tiles_per_gaussian,
         backend=backend, antialiased=(mcfg.rasterize_mode == "antialiased"))
 

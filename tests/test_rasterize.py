@@ -265,3 +265,80 @@ def test_pair_prefix_budget_exceeded_drops_tail(test_scene):
         return jnp.mean(out.image)
 
     assert np.isfinite(np.array(jax.grad(loss)(means))).all()
+
+
+def test_band_rendering_matches_full_rows():
+    """Band mode (the tile-sharding unit) reproduces the corresponding
+    rows of a full render bitwise, across all three render paths."""
+    import jax.numpy as jnp
+    from edgegaussians_tpu.ops.rasterize import rasterize
+
+    r = np.random.default_rng(5)
+    n, W, H = 128, 64, 80   # 5 tile rows
+    means = r.uniform(-0.5, 0.5, (n, 3)).astype(np.float32)
+    means[:, 2] += 2.0
+    quats = r.normal(size=(n, 4)).astype(np.float32)
+    scales = np.exp(r.uniform(np.log(0.01), np.log(0.05),
+                              (n, 3))).astype(np.float32)
+    opac = r.uniform(0.2, 0.9, n).astype(np.float32)
+    f = 55.0
+    K = jnp.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], jnp.float32)
+    vm = jnp.eye(4, dtype=jnp.float32)
+    args = (jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+            jnp.asarray(opac), vm, K, W, H)
+
+    for kw in [dict(capacity=64),
+               dict(capacity=64, dense_capacity=32, overflow_tiles=8),
+               dict(capacity=64, dense_capacity=32, overflow_tiles=8,
+                    pair_budget=2048)]:
+        full = rasterize(*args, tile_size=16, backend="jax", **kw)
+        bands = [np.array(rasterize(*args, tile_size=16, backend="jax",
+                                    band_row0=jnp.int32(r0),
+                                    band_tile_rows=1, **kw).image)
+                 for r0 in range(5)]
+        np.testing.assert_array_equal(np.concatenate(bands, axis=0),
+                                      np.array(full.image))
+
+
+def test_occupancy_sort_parity():
+    """Occupancy-sorted frame rows produce identical images, parameter
+    grads, and absgrad sinks (jax + pallas-interpret, plain + pair-prefix
+    two-level paths)."""
+    import jax
+    import jax.numpy as jnp
+    from edgegaussians_tpu.ops.rasterize import rasterize
+
+    r = np.random.default_rng(0)
+    n, W, H = 256, 96, 80
+    means = r.uniform(-0.5, 0.5, (n, 3)).astype(np.float32)
+    means[:, 2] += 2.0
+    quats = r.normal(size=(n, 4)).astype(np.float32)
+    scales = np.exp(r.uniform(np.log(0.01), np.log(0.06),
+                              (n, 3))).astype(np.float32)
+    opac = r.uniform(0.2, 0.9, n).astype(np.float32)
+    f = 80.0
+    K = jnp.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], jnp.float32)
+    vm = jnp.eye(4, dtype=jnp.float32)
+    A = tuple(map(jnp.asarray, (means, quats, scales, opac)))
+    tgt = jnp.asarray(r.random((H, W)), jnp.float32)
+
+    for backend in ("jax", "pallas"):
+        for kw in [dict(capacity=128, dense_capacity=64, overflow_tiles=8),
+                   dict(capacity=128, dense_capacity=64, overflow_tiles=8,
+                        pair_budget=4096)]:
+            def run(occ):
+                def f_(m, sink):
+                    out = rasterize(m, *A[1:], vm, K, W, H, tile_size=16,
+                                    backend=backend, occupancy_sort=occ,
+                                    absgrad_sink=sink, **kw)
+                    return (jnp.mean(jnp.abs(jnp.clip(out.image, 0, 1)
+                                             - tgt)), out.image)
+                (l, img), (gm, gs) = jax.value_and_grad(
+                    f_, argnums=(0, 1), has_aux=True)(
+                    A[0], jnp.zeros((n, 2)))
+                return np.array(img), np.array(gm), np.array(gs)
+            i0, g0, s0 = run(False)
+            i1, g1, s1 = run(True)
+            np.testing.assert_array_equal(i0, i1)
+            np.testing.assert_allclose(g0, g1, atol=2e-9)
+            np.testing.assert_allclose(s0, s1, atol=1e-10)
