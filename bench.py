@@ -33,9 +33,14 @@ ITERS = 20
 FIXTURE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "bench_fixture", "abc_00004926.npz")
 
-# shipped ABC_DexiNed tile geometry (configs/ABC_DexiNed.json)
+# shipped ABC_DexiNed tile geometry (configs/ABC_DexiNed.json) plus the
+# production fast path: sorted-pair-prefix frames (budget 49152 = 1.5x the
+# fixture's measured 32788 pairs; renders bit-identical, parity-tested in
+# tests/test_rasterize.py) and occupancy-sorted compositor frames.
+# Measured on v5e: 68.2 (dense) -> 85.2 (pair) -> 95.7 Mpx/s (pair+occ).
 ABC_TILES = dict(tile_size=16, capacity=768, dense_capacity=128,
-                 overflow_tiles=128, max_tiles_per_gaussian=16)
+                 overflow_tiles=128, max_tiles_per_gaussian=16,
+                 pair_budget=49152, occupancy_sort=True)
 SYN_TILES = dict(tile_size=16, capacity=512, dense_capacity=128)
 
 
