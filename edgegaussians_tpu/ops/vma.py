@@ -52,6 +52,30 @@ def match_vma(x, *refs):
     return pvary(x, tuple(sorted(want, key=str)))
 
 
+def shard_map_for_backend(f, *, mesh, in_specs, out_specs, backend):
+    """shard_map with vma checking ON for pure-XLA render backends.
+
+    Strict vma typing is the trace-time defense against the exact bug
+    class found in round 2 (per-device partial grads psum'd as if they
+    were the true reduction — commit 26260cb). The 'jax' and 'reference'
+    backends trace to vma-clean jaxprs, so they run under
+    ``check_vma=True``; only Pallas call sites fall back to unchecked
+    (Pallas traced bodies are not vma-clean in current JAX — ref loads
+    carry the operand's vma but op results drop it, so loop carries
+    mismatch; observed on TPU with jax 0.9).
+    """
+    if backend == "pallas":
+        return shard_map_unchecked(f, mesh=mesh, in_specs=in_specs,
+                                   out_specs=out_specs)
+    try:
+        return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=True)
+    except TypeError:
+        from jax.experimental.shard_map import shard_map as legacy
+        return legacy(f, mesh=mesh, in_specs=in_specs,
+                      out_specs=out_specs, check_rep=True)
+
+
 def shard_map_unchecked(f, *, mesh, in_specs, out_specs):
     """``jax.shard_map`` with varying-manual-axes checking disabled.
 

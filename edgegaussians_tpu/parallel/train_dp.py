@@ -50,6 +50,7 @@ def make_dp_train_step(cfg: FrameworkConfig, width: int, height: int,
         overflow_tiles=mcfg.tile_overflow_tiles,
         pair_budget=mcfg.tile_pair_budget,
         occupancy_sort=mcfg.tile_occupancy_sort,
+        max_tiles_per_gaussian=mcfg.max_tiles_per_gaussian,
         backend=backend, antialiased=(mcfg.rasterize_mode == "antialiased"))
     strat_before = losses_strategy_index(pl_cfg.loss_before_alternating)
     strat_less = losses_strategy_index(pl_cfg.less_freq_loss)
@@ -116,10 +117,10 @@ def make_dp_train_step(cfg: FrameworkConfig, width: int, height: int,
         return gsum, lsum, asum
 
     @functools.partial(
-        vma_mod.shard_map_unchecked, mesh=mesh,
+        vma_mod.shard_map_for_backend, mesh=mesh,
         in_specs=(P(), P(), P("views"), P("views"), P("views"), P("views"),
                   P(), P(), P(), P()),
-        out_specs=(P(), P(), P()))
+        out_specs=(P(), P(), P()), backend=backend)
     def sharded_grads(params, alive, images, edge_masks, viewmats, Ks,
                       key, strategy_idx, lambda_proj, bg_ratio):
         # decorrelate per-device RNG along the views axis (the tiles axis
@@ -286,9 +287,9 @@ def make_tile_sharded_render(cfg: FrameworkConfig, width: int, height: int,
         return jnp.sum(jnp.abs(pred - gt_tiles) * pix_valid)
 
     @functools.partial(
-        vma_mod.shard_map_unchecked, mesh=mesh,
+        vma_mod.shard_map_for_backend, mesh=mesh,
         in_specs=(P(), P(), P(), P(), P("tiles"), P("tiles"), P()),
-        out_specs=(P(), P(), P()))
+        out_specs=(P(), P(), P()), backend=backend)
     def sharded_loss_grad(params, alive, viewmat, K, gt_tiles, pix_valid,
                           sink):
         def f(p, s):

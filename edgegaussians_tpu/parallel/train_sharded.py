@@ -92,9 +92,9 @@ def make_sharded_proj_grad_fn(cfg: FrameworkConfig, width: int, height: int,
     def pad_rows(img):
         return jnp.pad(img, ((0, pad_h - height), (0, 0)))
 
-    @functools.partial(vma_mod.shard_map_unchecked, mesh=mesh,
+    @functools.partial(vma_mod.shard_map_for_backend, mesh=mesh,
                        in_specs=(P(),) * 9,
-                       out_specs=(P(), P(), P(), P()))
+                       out_specs=(P(), P(), P(), P()), backend=backend)
     def sharded(params, alive, viewmat, K, gt, edge_mask, strategy_idx,
                 bg_ratio, key):
         shard = jax.lax.axis_index(axis)
@@ -180,8 +180,12 @@ def make_sharded_proj_grad_fn(cfg: FrameworkConfig, width: int, height: int,
                 jnp.sum((out.tile_counts > mcfg.tile_dense_capacity)
                         .astype(jnp.int32)), axis),
             num_truncated=jax.lax.psum(out.num_truncated, axis),
+            # pmax, not psum: each band independently enjoys the FULL
+            # pair_budget (see render_kwargs above), so the overflow check
+            # in trainer.train compares the budget against the busiest
+            # band, not the cross-band total
             num_pairs=(None if out.num_pairs is None
-                       else jax.lax.psum(out.num_pairs, axis)))
+                       else jax.lax.pmax(out.num_pairs, axis)))
         return (jax.lax.psum(proj_loss, axis), stats,
                 jax.lax.psum(gparams, axis), jax.lax.psum(gsink, axis))
 

@@ -136,3 +136,49 @@ def test_tile_render_grad_under_shard_map_views():
         assert np.isclose(float(ls[v]), float(l_ref), rtol=1e-5)
         np.testing.assert_allclose(np.array(absg[v]), np.array(a_ref),
                                    rtol=1e-4, atol=1e-8)
+
+
+def test_checked_mode_sharded_proj_grad_equivalence():
+    """The production tile-band proj-grad runs under check_vma=True for the
+    pure-XLA backend (ops.vma.shard_map_for_backend) and matches the
+    single-device values — the strict type system that catches psum
+    double-reduction bugs at trace time (VERDICT r2 item 3) is live again
+    on every non-Pallas path."""
+    from edgegaussians_tpu.config import FrameworkConfig
+    from edgegaussians_tpu.parallel import train_sharded
+    from edgegaussians_tpu.train import trainer
+
+    r = np.random.default_rng(5)
+    n, W, H = 64, 64, 64
+    seeds = r.uniform(-0.4, 0.4, (n, 3)).astype(np.float32)
+    seeds[:, 2] += 2.0
+    cfg = FrameworkConfig()
+    cfg.model.max_num_gaussians = n
+    cfg.model.tile_gaussian_capacity = 32
+    ts = trainer.init_train_state(seeds, cfg)
+    params, alive = ts.gaussians.params, ts.gaussians.alive
+
+    f = 60.0
+    K = jnp.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], jnp.float32)
+    vm = jnp.eye(4, dtype=jnp.float32)
+    gt = jnp.asarray(r.random((H, W)), jnp.float32)
+    em = gt > 0.5
+    key = jax.random.PRNGKey(0)
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("tiles",))
+    # the builder must install a CHECKED shard_map for backend='jax'
+    sharded = train_sharded.make_sharded_proj_grad_fn(cfg, W, H, "jax",
+                                                      mesh)
+    single = trainer.make_proj_grad_fn(cfg, W, H, "jax")
+
+    for sidx in (0, 1, 2):
+        l_s, st_s, g_s, a_s = jax.jit(sharded)(
+            params, alive, vm, K, gt, em, jnp.int32(sidx),
+            jnp.float32(1.0), key)
+        l_r, st_r, g_r, a_r = jax.jit(single)(
+            params, alive, vm, K, gt, em, jnp.int32(sidx),
+            jnp.float32(1.0), key)
+        assert np.isclose(float(l_s), float(l_r), rtol=1e-5), sidx
+        np.testing.assert_allclose(np.array(g_s.means),
+                                   np.array(g_r.means), atol=1e-6)
+        np.testing.assert_allclose(np.array(a_s), np.array(a_r), atol=1e-6)
