@@ -123,6 +123,14 @@ class ModelConfig:
     # pairs past it are dropped from the render like tiles past the
     # overflow budget.
     tile_pair_budget: int = 0
+    # What the trainer does when a render's pair count exceeds
+    # tile_pair_budget (that render already dropped pairs): 'fallback'
+    # rebuilds the epoch program on the dense frame path for the rest of
+    # the run (one re-jit; every later render is exact), 'error' raises,
+    # 'warn' only logs (the pre-round-3 behavior). Budgets shipped in
+    # configs are whole-run audited (scripts/pair_budget_audit.py), so
+    # this triggers only on scenes denser than the audited set.
+    tile_pair_overflow_action: str = "fallback"
     # Order compositor frame rows by descending tile occupancy: the kernels
     # predicate per TILE_BLOCK on the block max, so homogeneous blocks cut
     # predicated slot work ~2x on sparse edge scenes. Bitwise-identical

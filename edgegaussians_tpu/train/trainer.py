@@ -104,6 +104,8 @@ def _cfg_memo_key(cfg: FrameworkConfig, program: str = "epoch") -> str:
     # them lets multi-seed spread sweeps share compiled programs.
     d["training"].pop("seed", None)
     d.pop("output", None)
+    # host-side dispatch knob, never read by a traced program
+    d["model"].pop("tile_pair_overflow_action", None)
     if program == "epoch":
         for f in _DENSITY_ONLY_MODEL_FIELDS:
             d["model"].pop(f, None)
@@ -501,15 +503,18 @@ def train(scene, seed_points: np.ndarray, cfg: FrameworkConfig,
           initial_state: Optional[TrainState] = None,
           profile_dir: Optional[str] = None,
           profile_epochs: int = 1,
-          mesh=None) -> TrainState:
+          mesh=None, mesh_strategy: str = "tiles") -> TrainState:
     """Full training run on one scene (train_gaussians.py:144-222).
 
     ``scene`` is a SceneViews; returns the trained state. Checkpoints are
     written as .npz (params + opt + step) when ``checkpoint_dir`` is set;
     TensorBoard scalars/images go to ``log_dir`` when set (the reference
     logs the same quantities — train_gaussians.py:96,136-139,190).
-    ``mesh`` (a jax Mesh with a 'tiles' axis) scales every render+backward
-    across devices with identical semantics (parallel/train_sharded.py).
+    ``mesh`` scales every render+backward across devices with identical
+    semantics; ``mesh_strategy`` picks the sharded axis: 'tiles' shards
+    the pixel/tile-row axis (parallel/train_sharded.py), 'gauss' shards
+    the N-Gaussian projection/compositing work (parallel/train_tp.py —
+    the per-chip memory/work axis for DTU/Replica-scale capacities).
     """
     if backend == "auto":
         backend = cfg.model.rasterizer_backend
@@ -538,13 +543,35 @@ def train(scene, seed_points: np.ndarray, cfg: FrameworkConfig,
         ts = init_train_state(seed_points, cfg, capacity=start_cap)
     else:
         ts = init_train_state(seed_points, cfg)
-    if mesh is not None:
-        from edgegaussians_tpu.parallel.train_sharded import \
-            make_sharded_epoch_fn
-        epoch_fn = make_sharded_epoch_fn(cfg, scene.width, scene.height,
-                                         backend, mesh)
+    dp_step = None
+    if cfg.training.step_mode == "view_batch":
+        # Data-parallel large-batch mode (parallel/train_dp.py): one Adam
+        # step per view batch — a documented throughput-mode divergence
+        # from the reference's per-view SGD (train_gaussians.py:71-106).
+        from edgegaussians_tpu.parallel import mesh as mesh_mod
+        from edgegaussians_tpu.parallel import train_dp
+        make_mesh_epoch_fn, epoch_fn = None, None
+        dp_mesh = mesh if (mesh is not None and "views" in mesh.shape) \
+            else mesh_mod.make_mesh(view_axis=1, tile_axis=1)
+        dp_step = train_dp.make_dp_train_step(cfg, scene.width,
+                                              scene.height, backend,
+                                              dp_mesh)
+        dp_rng = np.random.default_rng(cfg.training.seed + 977)
+    elif mesh is not None:
+        if mesh_strategy == "gauss":
+            from edgegaussians_tpu.parallel.train_tp import \
+                make_tp_epoch_fn as make_mesh_epoch_fn
+        elif mesh_strategy == "tiles":
+            from edgegaussians_tpu.parallel.train_sharded import \
+                make_sharded_epoch_fn as make_mesh_epoch_fn
+        else:
+            raise ValueError(f"unknown mesh_strategy {mesh_strategy!r}")
+        epoch_fn = make_mesh_epoch_fn(cfg, scene.width, scene.height,
+                                      backend, mesh, axis=mesh_strategy)
     else:
+        make_mesh_epoch_fn = None
         epoch_fn = make_epoch_fn(cfg, scene.width, scene.height, backend)
+    pair_mode = bool(cfg.model.tile_pair_budget) and dp_step is None
     density_fn = make_density_fn(cfg)
     grow_at = cfg.model.staged_capacity_grow_threshold
 
@@ -567,8 +594,26 @@ def train(scene, seed_points: np.ndarray, cfg: FrameworkConfig,
         if prof_start is not None and epoch == prof_start:
             jax.block_until_ready(ts.gaussians.params.means)
             jax.profiler.start_trace(profile_dir)
-        ts, stats = epoch_fn(ts, jnp.int32(epoch), images, edge_masks,
-                             viewmats, Ks)
+        if dp_step is not None:
+            nv = scene.num_views
+            bsz = cfg.training.view_batch_size or nv
+            nb = max(nv // bsz, 1)
+            perm = dp_rng.permutation(nv)[:nb * bsz]
+            loss_sum = jnp.float32(0.0)
+            for i in range(nb):
+                sel = jnp.asarray(np.sort(perm[i * bsz:(i + 1) * bsz]))
+                ts, loss = dp_step(ts, jnp.int32(epoch), images[sel],
+                                   edge_masks[sel], viewmats[sel], Ks[sel])
+                loss_sum = loss_sum + loss
+            stats = EpochStats(
+                avg_loss=loss_sum / nb,
+                num_alive=ts.gaussians.num_alive(),
+                max_tile_count=jnp.int32(0),
+                max_overflow_tiles=jnp.int32(0),
+                max_truncated=jnp.int32(0), max_pairs=None)
+        else:
+            ts, stats = epoch_fn(ts, jnp.int32(epoch), images, edge_masks,
+                                 viewmats, Ks)
         if prof_stop is not None and prof_start <= epoch < prof_stop and \
                 epoch + 1 == prof_stop:
             jax.block_until_ready(ts.gaussians.params.means)
@@ -608,12 +653,38 @@ def train(scene, seed_points: np.ndarray, cfg: FrameworkConfig,
                       if stats.max_pairs is not None else "")
                    + f"px/s={px_per_epoch / dt / 1e6:.1f}M "
                    f"t={now - t0:.1f}s")
-        if (cfg.model.tile_pair_budget and stats.max_pairs is not None
+        if (pair_mode and stats.max_pairs is not None
                 and int(stats.max_pairs) > cfg.model.tile_pair_budget):
-            log_fn(f"WARNING: epoch {epoch}: {int(stats.max_pairs)} "
-                   f"(tile, Gaussian) pairs exceed tile_pair_budget="
+            msg = (f"epoch {epoch}: {int(stats.max_pairs)} (tile, Gaussian) "
+                   f"pairs exceed tile_pair_budget="
                    f"{cfg.model.tile_pair_budget}; pairs past the budget "
-                   "are DROPPED from renders — raise the budget")
+                   "were DROPPED from this epoch's renders")
+            action = cfg.model.tile_pair_overflow_action
+            if action == "error":
+                raise RuntimeError(
+                    msg + " — raise the budget (tile_pair_overflow_action="
+                          "'error')")
+            if action == "fallback":
+                # rebuild the epoch program on the exact dense frame path
+                # for the rest of the run (one re-jit); the overflowed
+                # epoch itself stays truncated
+                import dataclasses
+                dense_cfg = dataclasses.replace(
+                    cfg, model=dataclasses.replace(
+                        cfg.model, tile_pair_budget=0))
+                if mesh is not None:
+                    epoch_fn = make_mesh_epoch_fn(
+                        dense_cfg, scene.width, scene.height, backend, mesh,
+                        axis=mesh_strategy)
+                else:
+                    epoch_fn = make_epoch_fn(dense_cfg, scene.width,
+                                             scene.height, backend)
+                pair_mode = False
+                log_fn("WARNING: " + msg + "; switching to the dense frame "
+                       "path for the remaining epochs "
+                       "(tile_pair_overflow_action='fallback')")
+            else:
+                log_fn("WARNING: " + msg + " — raise the budget")
         if writer is not None:
             writer.add_scalar("Projection loss", float(stats.avg_loss),
                               epoch)

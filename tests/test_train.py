@@ -286,3 +286,62 @@ def test_checkpoint_schema_named_fields(tmp_path):
     import pytest as _pytest
     with _pytest.raises(KeyError):
         trainer.load_checkpoint(str(badpath), ts)
+
+
+def _pair_overflow_cfg(scene_cfg, action):
+    """Tiny pair budget that every render exceeds, to exercise the
+    tile_pair_overflow_action dispatch (config.py)."""
+    cfg = dataclasses.replace(scene_cfg)
+    cfg.model = dataclasses.replace(
+        cfg.model, tile_dense_capacity=32, tile_overflow_tiles=4,
+        tile_pair_budget=8, tile_pair_overflow_action=action)
+    cfg.training = dataclasses.replace(cfg.training, num_epochs=3)
+    return cfg
+
+
+def test_pair_overflow_error_action(scene_and_cfg):
+    scene, base_cfg = scene_and_cfg
+    cfg = _pair_overflow_cfg(base_cfg, "error")
+    seeds = np.random.default_rng(0).uniform(-0.5, 0.5, (64, 3)) \
+        .astype(np.float32)
+    with pytest.raises(RuntimeError, match="tile_pair_budget"):
+        trainer.train(scene, seeds, cfg, backend="jax", log_fn=lambda m: None)
+
+
+def test_pair_overflow_fallback_action(scene_and_cfg):
+    """Overflow under 'fallback' (the default) switches the remaining
+    epochs to the exact dense frame path and finishes training."""
+    scene, base_cfg = scene_and_cfg
+    cfg = _pair_overflow_cfg(base_cfg, "fallback")
+    seeds = np.random.default_rng(0).uniform(-0.5, 0.5, (64, 3)) \
+        .astype(np.float32)
+    msgs = []
+    ts = trainer.train(scene, seeds, cfg, backend="jax", log_fn=msgs.append)
+    assert int(ts.step) == cfg.training.num_epochs * scene.num_views
+    switched = [m for m in msgs if "dense frame path" in m]
+    assert len(switched) == 1, msgs
+    # epochs after the switch run the dense path: no further warnings
+    assert not any("DROPPED" in m for m in msgs[msgs.index(switched[0]) + 1:])
+
+
+def test_view_batch_step_mode(scene_and_cfg):
+    """step_mode='view_batch' trains via the DP batch step end-to-end
+    (VERDICT r2 item 8's mode, config-reachable): loss decreases and
+    step counts batches, not views."""
+    scene, base_cfg = scene_and_cfg
+    cfg = dataclasses.replace(base_cfg)
+    cfg.training = dataclasses.replace(
+        base_cfg.training, step_mode="view_batch", view_batch_size=2,
+        num_epochs=4)
+    cfg.training.loss = dataclasses.replace(cfg.training.loss)
+    cfg.training.loss.projection_losses = dataclasses.replace(
+        cfg.training.loss.projection_losses, start_alternating_at_epoch=999)
+    seeds = np.random.default_rng(0).uniform(-0.5, 0.5, (64, 3)) \
+        .astype(np.float32)
+    msgs = []
+    ts = trainer.train(scene, seeds, cfg, backend="jax", log_fn=msgs.append)
+    nb = scene.num_views // 2
+    assert int(ts.step) == cfg.training.num_epochs * nb
+    vals = [float(m.split("loss=")[1].split()[0]) for m in msgs
+            if "loss=" in m]
+    assert vals[-1] < vals[0], vals
