@@ -42,7 +42,19 @@ def main(argv=None):
                          "devices on a 'tiles' mesh axis (0 = single "
                          "device); semantics identical to single-device "
                          "training (parallel/train_sharded.py)")
+    ap.add_argument("--mesh_gauss", type=int, default=0,
+                    help="shard the N-Gaussian projection/compositing work "
+                         "across this many devices on a 'gauss' mesh axis "
+                         "(0 = single device); exact single-device "
+                         "semantics, the per-chip memory/work axis for "
+                         "DTU/Replica-scale capacities "
+                         "(parallel/train_tp.py)")
     args = ap.parse_args(argv)
+    if args.mesh_tiles and args.mesh_gauss:
+        raise SystemExit("--mesh_tiles and --mesh_gauss are exclusive")
+
+    from edgegaussians_tpu.parallel import distributed
+    distributed.initialize()   # no-op single-process (multi-host: env vars)
 
     from edgegaussians_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
@@ -93,16 +105,18 @@ def main(argv=None):
         initial_state = trainer.load_checkpoint(args.ckpt_path, template)
         print(f"Resumed from {args.ckpt_path}")
 
-    mesh = None
-    if args.mesh_tiles > 0:
+    mesh, mesh_strategy = None, "tiles"
+    n_mesh = args.mesh_tiles or args.mesh_gauss
+    if n_mesh > 0:
         import jax
         from jax.sharding import Mesh
+        mesh_strategy = "gauss" if args.mesh_gauss else "tiles"
         devs = jax.devices()
-        if len(devs) < args.mesh_tiles:
-            raise SystemExit(f"--mesh_tiles {args.mesh_tiles} exceeds "
+        if len(devs) < n_mesh:
+            raise SystemExit(f"--mesh_{mesh_strategy} {n_mesh} exceeds "
                              f"{len(devs)} available devices")
-        mesh = Mesh(np.array(devs[:args.mesh_tiles]), ("tiles",))
-        print(f"tile-sharded training over {args.mesh_tiles} devices")
+        mesh = Mesh(np.array(devs[:n_mesh]), (mesh_strategy,))
+        print(f"{mesh_strategy}-sharded training over {n_mesh} devices")
 
     t0 = time.time()
     ts = trainer.train(scene, seed_pts, cfg, backend=args.backend,
@@ -113,7 +127,7 @@ def main(argv=None):
                                        else None),
                        profile_dir=args.profile_dir,
                        profile_epochs=args.profile_epochs,
-                       mesh=mesh)
+                       mesh=mesh, mesh_strategy=mesh_strategy)
     elapsed = time.time() - t0
     print(f"Training took {elapsed} seconds")
     with open(os.path.join(output_dir, "time.txt"), "w") as f:

@@ -60,6 +60,16 @@ def main():
     ap.add_argument("--curves", type=int, default=8)
     ap.add_argument("--skip-generate", action="store_true")
     ap.add_argument("--backend", type=str, default="auto")
+    ap.add_argument("--mesh_gauss", type=int, default=0,
+                    help="train with the Gaussian-axis TP epoch over this "
+                         "many devices (parallel/train_tp.py)")
+    ap.add_argument("--pair_budget", type=int, default=-1,
+                    help="override tile_pair_budget (-1 = shipped value)")
+    ap.add_argument("--log_interval", type=int, default=0,
+                    help="override trainer log cadence (1 = every-epoch "
+                         "pair watermark for budget audits)")
+    ap.add_argument("--skip-eval", action="store_true",
+                    help="stop after training (timing/memory runs)")
     args = ap.parse_args()
 
     if not args.skip_generate:
@@ -71,6 +81,10 @@ def main():
     cfg["data"]["edge_detection_method"] = "PidiNet"
     cfg["training"]["num_epochs"] = args.epochs
     cfg["output"]["output_dir"] = "output_synth/DTU_synth/"
+    if args.pair_budget >= 0:
+        cfg["model"]["tile_pair_budget"] = args.pair_budget
+    if args.log_interval:
+        cfg["training"]["log_interval"] = args.log_interval
     cfg_path = "/tmp/dtu_synth_cfg.json"
     json.dump(cfg, open(cfg_path, "w"))
 
@@ -78,11 +92,24 @@ def main():
     from edgegaussians_tpu.cli import fit_edges as fit_cli
     from edgegaussians_tpu.cli import train as train_cli
 
+    train_args = ["--config_file", cfg_path, "--scene_name", SCAN,
+                  "--force_rerun", "--backend", args.backend]
+    if args.mesh_gauss:
+        train_args += ["--mesh_gauss", str(args.mesh_gauss)]
     t0 = time.time()
-    train_cli.main(["--config_file", cfg_path, "--scene_name", SCAN,
-                    "--force_rerun", "--backend", args.backend])
+    train_cli.main(train_args)
     t_train = time.time() - t0
     print(f"[dtu_scale] training wall-clock: {t_train:.1f} s")
+    try:
+        import jax
+        stats = jax.local_devices()[0].memory_stats() or {}
+        if "peak_bytes_in_use" in stats:
+            print(f"[dtu_scale] peak device memory: "
+                  f"{stats['peak_bytes_in_use'] / 2**30:.2f} GiB")
+    except Exception:
+        pass
+    if args.skip_eval:
+        return
 
     fit_cli.main(["--config_file", cfg_path, "--scene_name", SCAN])
     exp = f"{cfg['output']['exp_name']}_PidiNet"
