@@ -50,6 +50,28 @@ def initialize(coordinator_address: Optional[str] = None,
     return True
 
 
+def replicate(tree, mesh: Mesh):
+    """Fully-replicated global arrays on ``mesh`` from host values every
+    process holds identically.
+
+    In a multi-controller run (``initialize()`` with num_processes > 1) a
+    jit over a global mesh needs inputs that are global jax.Arrays; plain
+    host arrays are process-local. Every process already holds the same
+    bytes (same dataset, same seeded init), so the global array is built
+    locally with ``make_array_from_callback`` — no cross-host transfer.
+    Single-process it's an ordinary replicated device_put.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec
+    sh = NamedSharding(mesh, PartitionSpec())
+
+    def put(x):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, sh,
+                                            lambda idx: x[idx])
+
+    return jax.tree.map(put, tree)
+
+
 def tiles_mesh(n_devices: Optional[int] = None,
                devices: Optional[Sequence] = None) -> Mesh:
     """A 1-axis ('tiles',) mesh over the first n devices (default: all).

@@ -1,0 +1,93 @@
+"""Multi-process (multi-controller) training equivalence (VERDICT r2 item 2).
+
+Spawns 2 real OS processes, each with 2 virtual CPU devices, wired by
+``jax.distributed.initialize`` into one 4-device global mesh; both jointly
+train the tile-band-sharded epoch program (per-render grad psums cross the
+process boundary over Gloo). Both processes must agree with each other AND
+with the single-process run of the same program — the coordination path
+carries exactly zero semantics.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_WORKER = os.path.join(_REPO, "scripts", "multiprocess_worker.py")
+EPOCHS = 3
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
+def test_two_process_training_matches_single_process(tmp_path):
+    port = _free_port()
+    out = str(tmp_path / "mp_out")
+    env = dict(os.environ,
+               JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=2")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, _WORKER,
+             "--coordinator", f"127.0.0.1:{port}",
+             "--num_processes", "2", "--process_id", str(i),
+             "--epochs", str(EPOCHS), "--out", out],
+            env=env, cwd=_REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for i in range(2)]
+    logs = []
+    try:
+        for p in procs:
+            stdout, _ = p.communicate(timeout=420)
+            logs.append(stdout)
+            assert p.returncode == 0, stdout[-3000:]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+
+    assert "processes=2" in logs[0] and "global_devices=4" in logs[0], \
+        logs[0][-2000:]
+
+    r0 = np.load(os.path.join(out, "proc0.npz"))
+    r1 = np.load(os.path.join(out, "proc1.npz"))
+    # both controllers computed the identical replicated state
+    np.testing.assert_array_equal(r0["means"], r1["means"])
+    np.testing.assert_array_equal(r0["absgrads"], r1["absgrads"])
+
+    # single-process oracle: same scene/cfg/program on the in-test
+    # 4-device mesh (psum order may differ => f32 noise tolerance)
+    sys.path.insert(0, os.path.join(_REPO, "scripts"))
+    import multiprocess_worker as worker
+    from jax.sharding import Mesh
+
+    from edgegaussians_tpu.parallel import train_sharded
+    from edgegaussians_tpu.train import trainer
+
+    seeds, images, edge_masks, vms, Ks = worker.build_scene()
+    cfg = worker.build_cfg()
+    W, H = images.shape[2], images.shape[1]
+    mesh = Mesh(np.array(jax.devices()[:4]), ("tiles",))
+    epoch_fn = train_sharded.make_sharded_epoch_fn(cfg, W, H, "jax", mesh)
+    ts = trainer.init_train_state(seeds, cfg)
+    for ep in range(EPOCHS):
+        ts, stats = epoch_fn(ts, jnp.int32(ep), images, edge_masks, vms, Ks)
+
+    np.testing.assert_allclose(r0["means"],
+                               np.asarray(ts.gaussians.params.means),
+                               atol=2e-6)
+    np.testing.assert_allclose(float(r0["loss"]), float(stats.avg_loss),
+                               rtol=1e-5)
+    assert int(r0["step"]) == int(ts.step)
