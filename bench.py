@@ -30,6 +30,67 @@ import numpy as np
 REF_PX_S = 15e6
 ITERS = 20
 
+# --- v5e chip ceilings for the speed-of-light model (public specs:
+# 197 bf16 TFLOP/s MXU => ~1/4 for 3-pass f32-precision matmuls; 819 GB/s
+# HBM; VPU 8x128 lanes x 4 ALUs at ~0.94 GHz). Derivation: docs/KERNELS.md
+# §7.
+HBM_B_S = 819e9
+VPU_OPS_S = 3.9e12
+MXU_F32_FLOP_S = 49e12
+
+
+def sol_model(n, width, height, tiles):
+    """Speed-of-light time (s) for one fwd+bwd render at these shapes.
+
+    Lower-bounds each pipeline stage by the better of its minimum HBM
+    bytes moved (at full bandwidth) or its arithmetic (VPU ops / MXU
+    FLOPs at peak), then sums the stages (they are data-dependent, so
+    sequential). This is an IDEAL-hardware bound — no gather/scatter
+    row-overhead, no predication waste, no padding — so the achievable
+    fraction is far below 1.0; its value is that the denominator is chip
+    physics, not an estimated GPU baseline. Full derivation + measured
+    per-op floors: docs/KERNELS.md §7.
+    """
+    px = width * height
+    ts = tiles.get("tile_size", 16)
+    ntx = -(-width // ts)
+    nty = -(-height // ts)
+    T = ntx * nty
+    P = ts * ts
+    M = tiles.get("max_tiles_per_gaussian", 64)
+    cap = tiles.get("capacity", 512)
+    k1 = tiles.get("dense_capacity", 0) or cap
+    t2 = tiles.get("overflow_tiles", 0) or max(T // 4, 8)
+    B = tiles.get("pair_budget", 0) or (T * k1 + t2 * (cap - k1))
+
+    terms = {}
+    # projection fwd+bwd: params in (11 f32), packed rows + grads out
+    terms["proj_bytes"] = n * (11 + 8 + 10) * 4 * 2
+    # binning: radix lower bound for the [N*M] fused-key sort — 4 passes
+    # x read+write x 4 B; searchsorted/decode ~ one more pass
+    terms["sort_bytes"] = n * M * 4 * 2 * 5
+    # frame build: gather B 8-col f32 rows (read + write), fwd
+    terms["frame_bytes"] = B * 32 * 2
+    # compositor fwd: B slots x P pixels x ~20 VPU ops (alpha exp, guard,
+    # scan, accumulate) + the [8] alpha contraction on the MXU
+    terms["fwd_vpu_ops"] = B * P * 20
+    terms["fwd_mxu_flop"] = B * P * 16
+    # image out + loss + cotangent in
+    terms["image_bytes"] = px * 4 * 4
+    # compositor bwd: rematerialized alphas + 8 grad components => ~2x fwd
+    terms["bwd_vpu_ops"] = 2 * B * P * 20
+    terms["bwd_mxu_flop"] = 2 * B * P * 16
+    # bwd grad rows (B x 10 f32 write+read) + scatter-add into [N,10]
+    terms["bwd_rows_bytes"] = B * 40 * 2 + n * 40 * 2
+
+    byte_total = sum(v for k, v in terms.items() if k.endswith("bytes"))
+    vpu_total = sum(v for k, v in terms.items() if k.endswith("vpu_ops"))
+    mxu_total = sum(v for k, v in terms.items() if k.endswith("mxu_flop"))
+    sol_s = (byte_total / HBM_B_S + max(vpu_total / VPU_OPS_S,
+                                        mxu_total / MXU_F32_FLOP_S))
+    return sol_s, {"bytes": byte_total, "vpu_ops": vpu_total,
+                   "mxu_flop": mxu_total}
+
 FIXTURE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "bench_fixture", "abc_00004926.npz")
 
@@ -129,13 +190,22 @@ def main():
     dt = (time.time() - t0) / ITERS
 
     px_s = width * height / dt
+    sol_s, sol_terms = sol_model(means.shape[0], width, height, tiles)
     print(json.dumps({"metric": metric, "value": round(px_s, 1),
                       "unit": "px/s/chip",
                       "vs_baseline": round(px_s / REF_PX_S, 3),
                       "baseline_source": "estimate: reference repo commits "
                       "no numbers (BASELINE.md); REF_PX_S=15e6 is an "
                       "estimate of gsplat-1.0 fwd+bwd on the reference's "
-                      "consumer-GPU environment"}))
+                      "consumer-GPU environment",
+                      "sol_fraction": round(sol_s / dt, 4),
+                      "sol_ms": round(sol_s * 1e3, 3),
+                      "measured_ms": round(dt * 1e3, 3),
+                      "sol_note": "ideal-roofline bound (v5e 819GB/s HBM, "
+                      "3.9T VPU ops/s, 49T f32 MXU FLOP/s; docs/KERNELS.md "
+                      "§7) — no gather/scatter row overhead or padding, so "
+                      "achievable fraction << 1; measured per-op floors put "
+                      "the practical ceiling ~4-5x above current"}))
 
 
 if __name__ == "__main__":

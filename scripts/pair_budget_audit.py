@@ -95,6 +95,11 @@ def main():
     res = extract_and_eval(ply, cfg, run_dir, extraction_seeds=args.seeds)
 
     print("\n=== pair-budget audit ===")
+    cadence = args.log_interval or "shipped config value"
+    print(f"pair watermark mined from trainer logs at log_interval="
+          f"{cadence}; with a cadence > 1 the reported peak only covers "
+          "logged epochs (run with --log_interval 1 for the true "
+          "whole-run peak)")
     print(f"budget={args.budget} peak_pairs={peak} "
           f"({peak / args.budget:.2f}x of budget) overflow_warnings={warns}")
     print(f"pairs trajectory: first={pairs[0]} "
