@@ -204,8 +204,9 @@ def main():
                       "sol_note": "ideal-roofline bound (v5e 819GB/s HBM, "
                       "3.9T VPU ops/s, 49T f32 MXU FLOP/s; docs/KERNELS.md "
                       "§7) — no gather/scatter row overhead or padding, so "
-                      "achievable fraction << 1; measured per-op floors put "
-                      "the practical ceiling ~4-5x above current"}))
+                      "achievable fraction << 1; measured per-op floors "
+                      "(KERNELS.md §5.1) put the practical ceiling ~3-4x "
+                      "above current"}))
 
 
 if __name__ == "__main__":

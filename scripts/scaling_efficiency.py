@@ -36,8 +36,8 @@ sys.path.insert(0, "/root/repo")
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mesh-sizes", type=str, default="1,2,4,8")
-    ap.add_argument("--mode", choices=["sharded", "dp", "both"],
-                    default="both")
+    ap.add_argument("--mode", choices=["sharded", "dp", "tp", "all"],
+                    default="all")
     ap.add_argument("--width", type=int, default=256)
     ap.add_argument("--height", type=int, default=256)
     ap.add_argument("--views", type=int, default=8)
@@ -61,9 +61,11 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    from jax.sharding import Mesh
+
     from edgegaussians_tpu.config import FrameworkConfig
     from edgegaussians_tpu.parallel import distributed, train_dp, \
-        train_sharded
+        train_sharded, train_tp
     from edgegaussians_tpu.parallel import mesh as mesh_mod
     from edgegaussians_tpu.train import trainer
 
@@ -110,7 +112,8 @@ def main():
         jax.block_until_ready(jax.tree.leaves(out)[0])
         return (time.time() - t0) / args.steps
 
-    modes = (["sharded", "dp"] if args.mode == "both" else [args.mode])
+    modes = (["sharded", "dp", "tp"] if args.mode in ("both", "all")
+             else [args.mode])
     for mode in modes:
         rows = []
         for size in sizes:
@@ -119,6 +122,14 @@ def main():
                 mesh = distributed.tiles_mesh(size)
                 epoch_fn = train_sharded.make_sharded_epoch_fn(
                     cfg, W, H, backend, mesh)
+                dt = time_fn(epoch_fn, ts, jnp.int32(0), images,
+                             edge_masks, vms, Ks)
+            elif mode == "tp":
+                if ts.gaussians.capacity % size:
+                    continue
+                mesh = Mesh(np.array(jax.devices()[:size]), ("gauss",))
+                epoch_fn = train_tp.make_tp_epoch_fn(cfg, W, H, backend,
+                                                     mesh)
                 dt = time_fn(epoch_fn, ts, jnp.int32(0), images,
                              edge_masks, vms, Ks)
             else:
