@@ -18,12 +18,14 @@ import jax
 import jax.numpy as jnp
 
 
-@functools.partial(jax.jit, static_argnames=("k", "chunk", "approx"))
+@functools.partial(jax.jit,
+                   static_argnames=("k", "chunk", "approx", "backend"))
 def knn(points: jnp.ndarray,            # [N,3]
         k: int,
         mask: jnp.ndarray | None = None,  # [N] bool; False rows excluded
         chunk: int = 1024,
-        approx: bool = False):
+        approx: bool = False,
+        backend: str = "auto"):
     """k nearest neighbors of every point among the masked points.
 
     Returns (distances [N,k], indices [N,k]), self excluded — matching the
@@ -36,7 +38,24 @@ def knn(points: jnp.ndarray,            # [N,3]
     (recall target 0.99) — appropriate for the direction-loss neighbors
     where exactness is immaterial; exact top-k (the default) matches sklearn
     and is used everywhere correctness-sensitive.
+
+    ``backend='pallas'`` (k <= 8) selects the Pallas streaming kernel
+    (ops/pallas_knn.py) — exact selection with zero HBM spill. Measured
+    in-program (epoch-level A/B on v5e, scripts/epoch_ab.py) it is
+    SLOWER than this XLA path (every-5-renders block 7.7 ms vs 4.3 ms at
+    16384 capacity): inside the compiled epoch the XLA d2+top-k fusions
+    overlap well, while the kernel's serial key-block walk with k
+    min-reduce passes per block underutilizes the VPU. 'auto' therefore
+    stays on the XLA path; the kernel remains as an explicitly
+    selectable backend (parity-tested in tests/test_pallas_knn.py) and a
+    recorded negative result (docs/RESULTS.md round 3).
     """
+    if backend == "auto":
+        import os
+        backend = os.environ.get("EG_KNN_BACKEND") or "xla"
+    if backend == "pallas":
+        from edgegaussians_tpu.ops.pallas_knn import knn_pallas
+        return knn_pallas(points, k, mask=mask)
     n = points.shape[0]
     pts = jnp.nan_to_num(points.astype(jnp.float32))
     if mask is None:
