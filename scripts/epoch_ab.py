@@ -92,9 +92,6 @@ def main():
         raw["training"]["loss"]["orientation_losses"][
             "start_ratio_loss_at_epoch"] = 99999
 
-    def no_orient_exact_knn(raw):
-        no_orient(raw)
-
     t_a = run_variant("full", full, args.epochs, args.out_root)
     t_b = run_variant("noorient", no_orient, args.epochs, args.out_root)
     print(json.dumps({
