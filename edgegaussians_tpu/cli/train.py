@@ -49,9 +49,17 @@ def main(argv=None):
                          "semantics, the per-chip memory/work axis for "
                          "DTU/Replica-scale capacities "
                          "(parallel/train_tp.py)")
+    ap.add_argument("--mesh_views", type=int, default=0,
+                    help="data-parallel view batches over this many "
+                         "devices (implies step_mode='view_batch'; "
+                         "large-batch throughput semantics, "
+                         "parallel/train_dp.py). view_batch_size must "
+                         "divide by this")
     args = ap.parse_args(argv)
-    if args.mesh_tiles and args.mesh_gauss:
-        raise SystemExit("--mesh_tiles and --mesh_gauss are exclusive")
+    if sum(map(bool, (args.mesh_tiles, args.mesh_gauss,
+                      args.mesh_views))) > 1:
+        raise SystemExit("--mesh_tiles/--mesh_gauss/--mesh_views are "
+                         "mutually exclusive")
 
     from edgegaussians_tpu.parallel import distributed
     distributed.initialize()   # no-op single-process (multi-host: env vars)
@@ -106,17 +114,25 @@ def main(argv=None):
         print(f"Resumed from {args.ckpt_path}")
 
     mesh, mesh_strategy = None, "tiles"
-    n_mesh = args.mesh_tiles or args.mesh_gauss
+    n_mesh = args.mesh_tiles or args.mesh_gauss or args.mesh_views
     if n_mesh > 0:
         import jax
         from jax.sharding import Mesh
-        mesh_strategy = "gauss" if args.mesh_gauss else "tiles"
         devs = jax.devices()
         if len(devs) < n_mesh:
-            raise SystemExit(f"--mesh_{mesh_strategy} {n_mesh} exceeds "
+            raise SystemExit(f"mesh size {n_mesh} exceeds "
                              f"{len(devs)} available devices")
-        mesh = Mesh(np.array(devs[:n_mesh]), (mesh_strategy,))
-        print(f"{mesh_strategy}-sharded training over {n_mesh} devices")
+        if args.mesh_views:
+            from edgegaussians_tpu.parallel import mesh as mesh_mod
+            mesh = mesh_mod.make_mesh(view_axis=args.mesh_views,
+                                      tile_axis=1,
+                                      devices=devs[:args.mesh_views])
+            cfg.training.step_mode = "view_batch"
+            print(f"view-DP training over {args.mesh_views} devices")
+        else:
+            mesh_strategy = "gauss" if args.mesh_gauss else "tiles"
+            mesh = Mesh(np.array(devs[:n_mesh]), (mesh_strategy,))
+            print(f"{mesh_strategy}-sharded training over {n_mesh} devices")
 
     t0 = time.time()
     ts = trainer.train(scene, seed_pts, cfg, backend=args.backend,

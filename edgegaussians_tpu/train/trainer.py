@@ -553,6 +553,11 @@ def train(scene, seed_points: np.ndarray, cfg: FrameworkConfig,
         make_mesh_epoch_fn, epoch_fn = None, None
         dp_mesh = mesh if (mesh is not None and "views" in mesh.shape) \
             else mesh_mod.make_mesh(view_axis=1, tile_axis=1)
+        bsz0 = cfg.training.view_batch_size or scene.num_views
+        if bsz0 % dp_mesh.shape["views"]:
+            raise ValueError(
+                f"view_batch_size {bsz0} must divide by the 'views' mesh "
+                f"axis size {dp_mesh.shape['views']}")
         dp_step = train_dp.make_dp_train_step(cfg, scene.width,
                                               scene.height, backend,
                                               dp_mesh)

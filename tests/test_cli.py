@@ -362,3 +362,36 @@ def test_train_cli_mesh_gauss(mini_dataset):
         str(out_dir / "gaussians_all.ply"))
     np.testing.assert_allclose(tp_pos, ref_pos, atol=5e-6)
     np.testing.assert_allclose(tp_opac, ref_opac, atol=5e-6)
+
+
+@pytest.mark.skipif(
+    __import__("jax").device_count() < 2, reason="needs 2 virtual devices")
+def test_train_cli_mesh_views_dp(mini_dataset):
+    """--mesh_views trains the DP batch step over a 'views' mesh; the
+    2-device trajectory matches the 1-device DP trajectory (grad psum over
+    views == local average)."""
+    import json as _json
+
+    from edgegaussians_tpu.io.ply import read_gaussian_params_from_ply
+
+    cfg_path, tmp = mini_dataset
+    cfg = _json.loads(open(cfg_path).read())
+    cfg["training"]["step_mode"] = "view_batch"
+    cfg["training"]["view_batch_size"] = 2
+    dp_cfg = tmp / "dp_cfg.json"
+    dp_cfg.write_text(_json.dumps(cfg))
+
+    out_dir = tmp / "out" / "t_DexiNed" / "SCENE01"
+    rc = train_cli.main(["--config_file", str(dp_cfg), "--scene_name",
+                         "SCENE01", "--backend", "jax", "--force_rerun"])
+    assert rc == 0
+    ref_pos, _, _, _ = read_gaussian_params_from_ply(
+        str(out_dir / "gaussians_all.ply"))
+
+    rc = train_cli.main(["--config_file", str(dp_cfg), "--scene_name",
+                         "SCENE01", "--backend", "jax", "--force_rerun",
+                         "--mesh_views", "2"])
+    assert rc == 0
+    dp_pos, _, _, _ = read_gaussian_params_from_ply(
+        str(out_dir / "gaussians_all.ply"))
+    np.testing.assert_allclose(dp_pos, ref_pos, atol=5e-6)
