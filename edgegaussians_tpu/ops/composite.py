@@ -255,6 +255,12 @@ def _gather_frame(packed_sorted, bins2, k1: int, k2: int):
         n = packed_sorted.shape[0]
         rows = T * k1 + t2 * k2
         src = packed_sorted[jnp.clip(bins2.pair_ranks, 0, n - 1)]  # [B,8]
+        # The round-3 xplane trace shows this scatter fused column-major
+        # ([rows,8]{0,1}, ~2 ms/step at ABC shapes) — XLA folds the
+        # transpose the compositor wants into the scatter. Forcing a
+        # row-major scatter via 16-col padding + post-slice measured the
+        # same end-to-end (93.2 vs 93.8 Mpx/s, within tunnel noise): the
+        # fused layout choice is already sound. KERNELS.md §5.1.
         frame = jnp.zeros((rows, packed_sorted.shape[1]),
                           packed_sorted.dtype).at[bins2.pair_rows].set(
             src, mode="drop", unique_indices=True)
