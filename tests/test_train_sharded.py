@@ -166,3 +166,39 @@ def test_sharded_pair_watermark_is_per_band_max():
     # psum regression would report >= total) but at least total/4.
     assert band_max < total, (band_max, total)
     assert band_max * 4 >= total, (band_max, total)
+
+
+def test_sharded_pair_overflow_fallback(tmp_path):
+    """Overflow fallback rebuilds the MESH epoch program (dense path) and
+    training completes — the host-side action composes with sharding."""
+    import dataclasses
+
+    from edgegaussians_tpu.cameras import Camera, stack_cameras
+    from edgegaussians_tpu.data.parsers import SceneViews
+
+    r = np.random.default_rng(0)
+    W = H = 48
+    f = 40.0
+    cams = []
+    for i in range(2):
+        K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], np.float32)
+        R = np.eye(3); t = np.array([0.0, 0.0, 2.0 + 0.1 * i])
+        cams.append(Camera.from_opencv(H, W, K, R, t))
+    Ks, vms, h, w = stack_cameras(cams)
+    images = r.random((2, H, W)).astype(np.float32)
+    scene = SceneViews(images=images, Ks=Ks, viewmats=vms, height=h,
+                      width=w, cameras=cams)
+
+    cfg = _full_cfg()
+    cfg.model = dataclasses.replace(
+        cfg.model, tile_dense_capacity=16, tile_overflow_tiles=4,
+        tile_pair_budget=4, tile_pair_overflow_action="fallback")
+    cfg.training = dataclasses.replace(cfg.training, num_epochs=3)
+
+    seeds = r.uniform(-0.5, 0.5, (64, 3)).astype(np.float32)
+    mesh = Mesh(np.array(jax.devices()[:2]), ("tiles",))
+    msgs = []
+    ts = trainer.train(scene, seeds, cfg, backend="jax",
+                       log_fn=msgs.append, mesh=mesh)
+    assert int(ts.step) == 3 * 2
+    assert sum("dense frame path" in m for m in msgs) == 1, msgs
