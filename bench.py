@@ -28,7 +28,7 @@ import time
 import numpy as np
 
 REF_PX_S = 15e6
-ITERS = 20
+ITERS = 50     # remote-tunnel step variance is ~±5%; more iters stabilize
 
 # --- v5e chip ceilings for the speed-of-light model (public specs:
 # 197 bf16 TFLOP/s MXU => ~1/4 for 3-pass f32-precision matmuls; 819 GB/s
