@@ -28,25 +28,33 @@ BASE = "synthetic_data/DTU_synth"
 SCAN = "dtu_s0"
 
 
-def generate(args):
+def generate(args, base, scan, dataset_name="DTU"):
     from edgegaussians_tpu.data import synthetic
     from edgegaussians_tpu.io import ply as ply_io
 
     paths = synthetic.generate_scene(
-        BASE, SCAN, seed=7, n_views=args.views, width=args.width,
+        base, scan, seed=7, n_views=args.views, width=args.width,
         height=args.height, n_lines=args.lines, n_curves=args.curves,
         edge_detector="PidiNet", sigma_px=1.2)
 
-    # DTU layout: sparse SfM seeds as a whitespace xyz .txt — sample the
-    # GT edge cloud + noise, the shape of a real SfM sparse cloud
+    # sparse SfM seeds sampled from the GT edge cloud + noise, written in
+    # the dataset's expected layout (parsers.get_paths_from_data_config):
+    # DTU = whitespace xyz .txt; ABC/Replica = colmap/sparse/sparse.ply
     gt_ply = paths["gt_ply"] if "gt_ply" in paths else os.path.join(
-        BASE, "groundtruth", "sampled_pts", f"{SCAN}_0.005.ply")
+        base, "groundtruth", "sampled_pts", f"{scan}_0.005.ply")
     pts = ply_io.read_point_cloud(gt_ply)
     rng = np.random.default_rng(11)
     take = rng.choice(len(pts), size=min(4000, len(pts)), replace=True)
     seeds = pts[take] + rng.normal(0, 0.01, (len(take), 3))
-    np.savetxt(os.path.join(BASE, "data", SCAN, "sparse_sfm_points.txt"),
-               seeds, fmt="%.6f")
+    if dataset_name == "DTU":
+        np.savetxt(os.path.join(base, "data", scan,
+                                "sparse_sfm_points.txt"),
+                   seeds, fmt="%.6f")
+    else:
+        sp = os.path.join(base, "data", scan, "colmap", "sparse")
+        os.makedirs(sp, exist_ok=True)
+        ply_io.write_point_cloud(os.path.join(sp, "sparse.ply"),
+                                 seeds.astype(np.float32))
     return paths
 
 
@@ -70,17 +78,26 @@ def main():
                          "pair watermark for budget audits)")
     ap.add_argument("--skip-eval", action="store_true",
                     help="stop after training (timing/memory runs)")
+    ap.add_argument("--config", default="configs/DTU.json",
+                    help="config to drive (configs/Replica.json runs the "
+                         "Replica recipe on a Replica-layout synthetic "
+                         "scene)")
     args = ap.parse_args()
 
-    if not args.skip_generate:
-        print("generating DTU-shaped synthetic scan...")
-        generate(args)
+    cfg = json.load(open(args.config))
+    dataset = cfg["data"].get("dataset_name", "DTU")
+    name = os.path.splitext(os.path.basename(args.config))[0]
+    base = BASE if dataset == "DTU" else f"synthetic_data/{name}_synth"
+    scan = SCAN if dataset == "DTU" else f"{name.lower()}_s0"
 
-    cfg = json.load(open("configs/DTU.json"))
-    cfg["data"]["base_dir"] = f"{BASE}/data/"
+    if not args.skip_generate:
+        print(f"generating {dataset}-shaped synthetic scan...")
+        generate(args, base, scan, dataset)
+
+    cfg["data"]["base_dir"] = f"{base}/data/"
     cfg["data"]["edge_detection_method"] = "PidiNet"
     cfg["training"]["num_epochs"] = args.epochs
-    cfg["output"]["output_dir"] = "output_synth/DTU_synth/"
+    cfg["output"]["output_dir"] = f"output_synth/{name}_synth/"
     if args.pair_budget >= 0:
         cfg["model"]["tile_pair_budget"] = args.pair_budget
     if args.log_interval:
@@ -92,7 +109,7 @@ def main():
     from edgegaussians_tpu.cli import fit_edges as fit_cli
     from edgegaussians_tpu.cli import train as train_cli
 
-    train_args = ["--config_file", cfg_path, "--scene_name", SCAN,
+    train_args = ["--config_file", cfg_path, "--scene_name", scan,
                   "--force_rerun", "--backend", args.backend]
     if args.mesh_gauss:
         train_args += ["--mesh_gauss", str(args.mesh_gauss)]
@@ -111,10 +128,10 @@ def main():
     if args.skip_eval:
         return
 
-    fit_cli.main(["--config_file", cfg_path, "--scene_name", SCAN])
+    fit_cli.main(["--config_file", cfg_path, "--scene_name", scan])
     exp = f"{cfg['output']['exp_name']}_PidiNet"
-    eval_cli.main(["--scan_names", SCAN,
-                   "--gt_base_dir", f"{BASE}/groundtruth",
+    eval_cli.main(["--scan_names", scan,
+                   "--gt_base_dir", f"{base}/groundtruth",
                    "--output_base_dir",
                    os.path.join(cfg["output"]["output_dir"], exp),
                    "--use_parametric_edges"])
