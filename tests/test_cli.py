@@ -395,3 +395,24 @@ def test_train_cli_mesh_views_dp(mini_dataset):
     dp_pos, _, _, _ = read_gaussian_params_from_ply(
         str(out_dir / "gaussians_all.ply"))
     np.testing.assert_allclose(dp_pos, ref_pos, atol=5e-6)
+
+
+def test_bench_sol_model():
+    """The roofline model (bench.sol_model) returns a positive bound well
+    under any plausible measured step, and scales with the pair budget."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    tiles = dict(tile_size=16, capacity=768, dense_capacity=128,
+                 overflow_tiles=128, max_tiles_per_gaussian=16,
+                 pair_budget=49152, occupancy_sort=True)
+    sol_s, terms = bench.sol_model(12740, 800, 800, tiles)
+    assert 0 < sol_s < 1e-3          # sub-millisecond ideal bound
+    assert terms["bytes"] > 0 and terms["vpu_ops"] > 0
+    sol2, _ = bench.sol_model(12740, 800, 800,
+                              dict(tiles, pair_budget=2 * 49152))
+    assert sol2 > sol_s              # more budgeted pairs => more work
