@@ -39,6 +39,38 @@ VPU_OPS_S = 3.9e12
 MXU_F32_FLOP_S = 49e12
 
 
+def practical_sol_model(n, width, height, tiles):
+    """Practical floor (s): sum of per-stage MEASURED per-op floors.
+
+    The ideal roofline (sol_model) assumes gather/scatter/sort move at
+    HBM bandwidth; the measured XLA/Mosaic floors are per-ROW / per-KEY
+    (coefficients from this repo's v5e lab sweeps and xplane traces —
+    derivation + table: docs/KERNELS.md §7). This is what the current
+    design can actually reach on this hardware+compiler; the ratio
+    measured/practical is therefore the honest remaining-headroom claim.
+    Stage set matches the round-4 pair-kernel pipeline.
+    """
+    ts = tiles.get("tile_size", 16)
+    ntx = -(-width // ts)
+    nty = -(-height // ts)
+    T = ntx * nty
+    M = tiles.get("max_tiles_per_gaussian", 64)
+    B = tiles.get("pair_budget", 0) or T * 64
+    TB = 16
+    Bp = B + 127 * (-(-T // TB))          # + per-block brick pads
+    stages = {
+        "fused_key_sort": 1.13e-9 * n * M,
+        "pair_resort_tables": 1.13e-9 * Bp + 0.05e-3,
+        "pair_gather": 3.2e-9 * Bp,
+        "feats_bricks": 2.0e-9 * Bp,
+        "fwd_kernel": 9e-9 * Bp,
+        "bwd_kernel": 14e-9 * Bp,
+        "grad_scatter": 7e-9 * (Bp + n),
+        "projection": 8e-9 * n,
+    }
+    return sum(stages.values()), stages
+
+
 def sol_model(n, width, height, tiles):
     """Speed-of-light time (s) for one fwd+bwd render at these shapes.
 
@@ -95,13 +127,17 @@ FIXTURE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "bench_fixture", "abc_00004926.npz")
 
 # shipped ABC_DexiNed tile geometry (configs/ABC_DexiNed.json) plus the
-# production fast path: sorted-pair-prefix frames (budget 49152 = 1.5x the
-# fixture's measured 32788 pairs; renders bit-identical, parity-tested in
-# tests/test_rasterize.py) and occupancy-sorted compositor frames.
-# Measured on v5e: 68.2 (dense) -> 85.2 (pair) -> 95.7 Mpx/s (pair+occ).
+# production fast path: the round-4 pair-domain DMA compositor
+# (ops/pallas_pair.py — no dense-frame scatter; budget 49152 = 1.5x the
+# fixture's measured 32788 pairs; parity-tested vs the dense path at
+# fixture shapes to f32 noise). Measured on v5e: 68.2 (dense frame)
+# -> 85.2 (pair prefix) -> 95.7 (pair+occupancy, round 2/3) -> 131-140
+# Mpx/s (pair kernel, round 4; dense path measured 75-93 the same
+# session). --pair_kernel 0 selects the two-level dense-frame path.
 ABC_TILES = dict(tile_size=16, capacity=768, dense_capacity=128,
                  overflow_tiles=128, max_tiles_per_gaussian=16,
-                 pair_budget=49152, occupancy_sort=True)
+                 pair_budget=49152, occupancy_sort=True,
+                 pair_kernel=True)
 SYN_TILES = dict(tile_size=16, capacity=512, dense_capacity=128)
 
 
@@ -148,6 +184,12 @@ def main():
                     help="override max_tiles_per_gaussian")
     ap.add_argument("--occupancy_sort", type=int, default=None,
                     help="override tile occupancy sorting (0/1)")
+    ap.add_argument("--pair_kernel", type=int, default=None,
+                    help="use the pair-domain DMA compositor "
+                         "(ops/pallas_pair.py) instead of the dense-frame "
+                         "two-level path (0/1)")
+    ap.add_argument("--capacity", type=int, default=None,
+                    help="override per-tile slot capacity")
     args = ap.parse_args()
 
     import jax
@@ -169,6 +211,10 @@ def main():
         tiles = dict(tiles, max_tiles_per_gaussian=args.m)
     if args.occupancy_sort is not None:
         tiles = dict(tiles, occupancy_sort=bool(args.occupancy_sort))
+    if args.pair_kernel is not None:
+        tiles = dict(tiles, pair_kernel=bool(args.pair_kernel))
+    if args.capacity is not None:
+        tiles = dict(tiles, capacity=args.capacity)
     target = jnp.zeros((height, width), jnp.float32)
 
     def loss_fn(m, q, s, o, viewmat, K):
@@ -191,6 +237,7 @@ def main():
 
     px_s = width * height / dt
     sol_s, sol_terms = sol_model(means.shape[0], width, height, tiles)
+    prac_s, _ = practical_sol_model(means.shape[0], width, height, tiles)
     print(json.dumps({"metric": metric, "value": round(px_s, 1),
                       "unit": "px/s/chip",
                       "vs_baseline": round(px_s / REF_PX_S, 3),
@@ -200,13 +247,17 @@ def main():
                       "consumer-GPU environment",
                       "sol_fraction": round(sol_s / dt, 4),
                       "sol_ms": round(sol_s * 1e3, 3),
+                      "practical_sol_fraction": round(prac_s / dt, 4),
+                      "practical_sol_ms": round(prac_s * 1e3, 3),
                       "measured_ms": round(dt * 1e3, 3),
-                      "sol_note": "ideal-roofline bound (v5e 819GB/s HBM, "
-                      "3.9T VPU ops/s, 49T f32 MXU FLOP/s; docs/KERNELS.md "
-                      "§7) — no gather/scatter row overhead or padding, so "
-                      "achievable fraction << 1; measured per-op floors "
-                      "(KERNELS.md §5.1) put the practical ceiling ~3-4x "
-                      "above current"}))
+                      "sol_note": "sol = ideal roofline (v5e 819GB/s HBM, "
+                      "3.9T VPU ops/s, 49T f32 MXU FLOP/s) — no "
+                      "gather/scatter row overhead, achievable fraction "
+                      "<< 1. practical_sol = sum of MEASURED per-op "
+                      "floors for this pipeline (per-row scatter/gather "
+                      "+ per-key sort + kernel coefficients; table in "
+                      "docs/KERNELS.md §7) — the honest remaining "
+                      "headroom"}))
 
 
 if __name__ == "__main__":

@@ -54,12 +54,15 @@ def main(argv=None):
                          "devices (implies step_mode='view_batch'; "
                          "large-batch throughput semantics, "
                          "parallel/train_dp.py). view_batch_size must "
-                         "divide by this")
+                         "divide by this. COMPOSABLE with --mesh_tiles: "
+                         "a views x tiles mesh runs hierarchical DP "
+                         "across the 'views' axis with every render "
+                         "tile-band-sharded across 'tiles' (the "
+                         "multi-host recipe, docs/SCALING.md §4)")
     args = ap.parse_args(argv)
-    if sum(map(bool, (args.mesh_tiles, args.mesh_gauss,
-                      args.mesh_views))) > 1:
-        raise SystemExit("--mesh_tiles/--mesh_gauss/--mesh_views are "
-                         "mutually exclusive")
+    if args.mesh_gauss and (args.mesh_tiles or args.mesh_views):
+        raise SystemExit("--mesh_gauss cannot combine with --mesh_tiles/"
+                         "--mesh_views")
 
     from edgegaussians_tpu.parallel import distributed
     distributed.initialize()   # no-op single-process (multi-host: env vars)
@@ -114,7 +117,9 @@ def main(argv=None):
         print(f"Resumed from {args.ckpt_path}")
 
     mesh, mesh_strategy = None, "tiles"
-    n_mesh = args.mesh_tiles or args.mesh_gauss or args.mesh_views
+    n_mesh = (args.mesh_views * args.mesh_tiles
+              if args.mesh_views and args.mesh_tiles
+              else args.mesh_tiles or args.mesh_gauss or args.mesh_views)
     if n_mesh > 0:
         import jax
         from jax.sharding import Mesh
@@ -124,11 +129,16 @@ def main(argv=None):
                              f"{len(devs)} available devices")
         if args.mesh_views:
             from edgegaussians_tpu.parallel import mesh as mesh_mod
+            tile_axis = max(args.mesh_tiles, 1)
             mesh = mesh_mod.make_mesh(view_axis=args.mesh_views,
-                                      tile_axis=1,
-                                      devices=devs[:args.mesh_views])
+                                      tile_axis=tile_axis,
+                                      devices=devs[:n_mesh])
             cfg.training.step_mode = "view_batch"
-            print(f"view-DP training over {args.mesh_views} devices")
+            if tile_axis > 1:
+                print(f"hierarchical view-DP x tile-band training over "
+                      f"{args.mesh_views}x{tile_axis} devices")
+            else:
+                print(f"view-DP training over {args.mesh_views} devices")
         else:
             mesh_strategy = "gauss" if args.mesh_gauss else "tiles"
             mesh = Mesh(np.array(devs[:n_mesh]), (mesh_strategy,))

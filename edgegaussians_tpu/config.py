@@ -131,6 +131,14 @@ class ModelConfig:
     # configs are whole-run audited (scripts/pair_budget_audit.py), so
     # this triggers only on scenes denser than the audited set.
     tile_pair_overflow_action: str = "fallback"
+    # Pair-domain DMA compositor (ops/pallas_pair.py): composite straight
+    # from the sorted-pair runs via per-block brick-window DMAs instead of
+    # scattering a dense frame — measured 1.5x the dense-path px/s on the
+    # ABC fixture (round 4). Needs tile_pair_budget > 0. Single-level
+    # per-tile capacity semantics: every tile composites
+    # min(count, tile_gaussian_capacity) pairs (strictly MORE complete
+    # than the two-level k1/t2/k2 truncation).
+    tile_pair_kernel: bool = False
     # Order compositor frame rows by descending tile occupancy: the kernels
     # predicate per TILE_BLOCK on the block max, so homogeneous blocks cut
     # predicated slot work ~2x on sparse edge scenes. Bitwise-identical

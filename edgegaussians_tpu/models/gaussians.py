@@ -96,6 +96,7 @@ def render_view(params: GaussianParams, alive: jnp.ndarray,
                 tile_size: int = 16, capacity: int = 512,
                 dense_capacity: int = 0, overflow_tiles: int = 0,
                 pair_budget: int = 0, occupancy_sort: bool = False,
+                pair_kernel: bool = False,
                 max_tiles_per_gaussian: int = 64,
                 backend: str = "jax", antialiased: bool = True,
                 absgrad_sink: Optional[jnp.ndarray] = None,
@@ -113,6 +114,7 @@ def render_view(params: GaussianParams, alive: jnp.ndarray,
         tile_size=tile_size, capacity=capacity,
         dense_capacity=dense_capacity, overflow_tiles=overflow_tiles,
         pair_budget=pair_budget, occupancy_sort=occupancy_sort,
+        pair_kernel=pair_kernel,
         max_tiles_per_gaussian=max_tiles_per_gaussian,
         backend=backend, antialiased=antialiased, alive=alive,
         absgrad_sink=absgrad_sink,

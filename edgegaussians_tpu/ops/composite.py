@@ -264,6 +264,22 @@ def _gather_frame(packed_sorted, bins2, k1: int, k2: int):
         frame = jnp.zeros((rows, packed_sorted.shape[1]),
                           packed_sorted.dtype).at[bins2.pair_rows].set(
             src, mode="drop", unique_indices=True)
+        import os
+        if os.environ.get("EG_FRAME_LAYOUT", "rowmajor") == "rowmajor":
+            # force the scatter target ROW-MAJOR: left alone, XLA layout
+            # assignment propagates the compositor's feature-major
+            # preference into the scatter, turning each pair row into 8
+            # strided element writes — the 1.99 ms top op of the round-3
+            # trace (fusion f32[401920,8]{0,1}). Constraining the layout
+            # makes the scatter write contiguous 32 B rows and pays one
+            # dense relayout instead (measured 16.5 -> 3.7 ms on the
+            # isolated op at bench shapes; docs/KERNELS.md §5.1).
+            from jax.experimental.layout import (Layout,
+                                                 with_layout_constraint)
+            frame = with_layout_constraint(
+                frame, Layout(major_to_minor=(0, 1)))
+        if os.environ.get("EG_FRAME_BARRIER"):
+            frame = jax.lax.optimization_barrier(frame)
         g1 = frame[:T * k1].reshape(T, k1, -1)
         g2 = frame[T * k1:].reshape(t2, k2, -1)
         return g1, g2
@@ -405,6 +421,13 @@ def _tl_bwd(backend, k1, k2, saved, g):
         # valid slots by construction, so no validf masking is needed.
         frame = jnp.concatenate([dg1.reshape(-1, dg1.shape[-1]),
                                  dg2.reshape(-1, dg2.shape[-1])], axis=0)
+        import os
+        if os.environ.get("EG_BWD_BARRIER"):
+            # mirror of the forward frame barrier: materialize the
+            # gradient frame rows before the B-row gather so the gather
+            # stays row-granular instead of fusing with the [T,8,K]
+            # relayout upstream
+            frame = jax.lax.optimization_barrier(frame)
         r_rows = frame.shape[0]
         rows8 = frame[jnp.clip(bins2.pair_rows, 0, r_rows - 1)]
         rows = jnp.concatenate([rows8, jnp.abs(rows8[:, 3:5])], axis=-1)

@@ -18,8 +18,6 @@ import jax
 import jax.numpy as jnp
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("k", "chunk", "approx", "backend"))
 def knn(points: jnp.ndarray,            # [N,3]
         k: int,
         mask: jnp.ndarray | None = None,  # [N] bool; False rows excluded
@@ -50,12 +48,21 @@ def knn(points: jnp.ndarray,            # [N,3]
     selectable backend (parity-tested in tests/test_pallas_knn.py) and a
     recorded negative result (docs/RESULTS.md round 3).
     """
+    # env resolution happens OUTSIDE the jitted implementation: the jit
+    # cache below is keyed on the resolved backend string, so changing
+    # EG_KNN_BACKEND between calls selects the right program instead of
+    # being silently ignored by an already-traced 'auto' entry.
     if backend == "auto":
         import os
         backend = os.environ.get("EG_KNN_BACKEND") or "xla"
     if backend == "pallas":
         from edgegaussians_tpu.ops.pallas_knn import knn_pallas
         return knn_pallas(points, k, mask=mask)
+    return _knn_xla(points, k, mask, chunk, approx)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk", "approx"))
+def _knn_xla(points, k, mask=None, chunk=1024, approx=False):
     n = points.shape[0]
     pts = jnp.nan_to_num(points.astype(jnp.float32))
     if mask is None:

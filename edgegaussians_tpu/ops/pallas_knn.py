@@ -127,11 +127,13 @@ def knn_pallas(points: jnp.ndarray,          # [N,3]
                interpret: bool | None = None):
     """Exact k nearest neighbors (self excluded) — ops.knn.knn contract.
 
-    Returns (distances [N,k], indices [N,k]), neighbors in ascending
-    distance order. Distances are exact (recomputed for the selected
-    indices); the selected set matches exact kNN up to ties within 2⁻¹¹
-    relative distance. Rows with fewer than k alive neighbors carry
-    f32-max distances in the dry slots, like ops.knn.knn.
+    Returns (distances [N,k], indices [N,k]), neighbors ordered ascending
+    by the 11-mantissa-bit-cleared packed selection metric — i.e.
+    ascending up to ties within 2⁻¹¹ relative distance, where the exact
+    recomputed distances returned may be slightly non-monotonic across
+    slots. The selected SET matches exact kNN to the same tie window.
+    Rows with fewer than k alive neighbors carry f32-max distances in the
+    dry slots, like ops.knn.knn.
     """
     if interpret is None:
         interpret = _auto_interpret()

@@ -70,6 +70,8 @@ def rasterize(
     absgrad_sink: Optional[jnp.ndarray] = None,   # [N,2] zeros
     band_row0: Optional[jnp.ndarray] = None,  # traced int32: first tile row
     band_tile_rows: Optional[int] = None,     # static: tile rows in band
+    pair_kernel: bool = False,   # pair-domain DMA compositor
+                                 # (ops/pallas_pair.py); needs pair_budget
 ) -> RenderResult:
     """Render one view. Differentiable in means/quats/scales/opacities and,
     through ``absgrad_sink``'s cotangent, reports accumulated |d means2d|.
@@ -98,7 +100,7 @@ def rasterize(
         max_tiles_per_gaussian=max_tiles_per_gaussian, backend=backend,
         occupancy_sort=occupancy_sort,
         absgrad_sink=absgrad_sink, band_row0=band_row0,
-        band_tile_rows=band_tile_rows)
+        band_tile_rows=band_tile_rows, pair_kernel=pair_kernel)
 
 
 def rasterize_packed(
@@ -118,6 +120,7 @@ def rasterize_packed(
     absgrad_sink: Optional[jnp.ndarray] = None,
     band_row0: Optional[jnp.ndarray] = None,
     band_tile_rows: Optional[int] = None,
+    pair_kernel: bool = False,
 ) -> RenderResult:
     """Bin + composite pre-projected, pre-packed Gaussians.
 
@@ -150,6 +153,30 @@ def rasterize_packed(
     capacity = min(capacity, n) if n > 0 else capacity
 
     num_pairs = None
+    if pair_kernel and pair_budget > 0:
+        # pair-domain DMA compositor (ops/pallas_pair.py): no dense frame
+        # materialization, single-level per-tile capacity (every tile
+        # composites min(count, capacity) — strictly more complete than
+        # the two-level truncation)
+        from edgegaussians_tpu.ops import pallas_pair
+        pbins = tiles_mod.bin_pairs_frame_order(
+            jax.lax.stop_gradient(proj), width, height, tile_size,
+            capacity, pair_budget,
+            max_tiles_per_gaussian=max_tiles_per_gaussian,
+            block_tiles=pallas_pair.pair_block_tiles())
+        packed_sorted = packed[pbins.order]
+        img_f = pallas_pair.pair_render(
+            packed_sorted, pbins, origins, basis, absgrad_sink, capacity,
+            None if backend == "pallas" else True)
+        # frame order -> tile order (autodiff transposes to a gather)
+        tile_imgs = jnp.zeros_like(img_f).at[pbins.perm].set(
+            img_f, unique_indices=True)
+        image = assemble_image(tile_imgs, width, height, tile_size)
+        return RenderResult(
+            image=image, tile_counts=pbins.counts,
+            num_visible=jnp.sum(proj.valid.astype(jnp.int32)),
+            num_truncated=pbins.num_truncated,
+            num_pairs=pbins.num_pairs)
     if 0 < dense_capacity < capacity:
         # two-level: dense K1 everywhere + overflow budget of busy tiles
         t2 = overflow_tiles or max(num_tiles // 4, 8)

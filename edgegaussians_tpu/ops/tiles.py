@@ -299,6 +299,152 @@ def _pair_prefix_tables(sorted_keys, starts, counts, ovf_ids,
     return pair_rows, pair_ranks, total
 
 
+class PairBins(NamedTuple):
+    """Frame-ordered pair tables for the DMA pair compositor
+    (ops/pallas_pair.py).
+
+    The budget-B prefix of the fused-key sort is RE-SORTED by
+    ``frame_row << RANK_BITS | depth_rank`` where frame rows order tiles
+    by descending occupancy — so (a) every tile's composited pairs are a
+    contiguous run of the pair array in depth order, (b) runs of a block
+    of TB consecutive frame rows are contiguous, letting the kernel DMA
+    ONE static window per block instead of scattering a dense [T*K] frame
+    (the ~2 ms top op of the round-3 trace — docs/KERNELS.md §5.1), and
+    (c) blocks are occupancy-homogeneous for chunk predication.
+
+    When ``block_tiles`` > 0, per-block PADDING pairs are inserted into
+    the re-sort (sorting at the end of each block's last run) so every
+    TB-tile block starts at a 128-pair brick boundary: the kernel's
+    [NB, 8, 128] brick windows then partition cleanly across blocks and
+    the backward's window write-backs never share a brick. Pad pairs
+    carry ranks >= RANK_MASK - 127 (asserted > any real rank) and are
+    excluded from ``counts_f``/``pair_valid``.
+
+    Single-level semantics: every tile composites min(count, cap) pairs —
+    strictly more complete than the two-level k1/t2/k2 truncation.
+    """
+    pair_ranks: jnp.ndarray   # [Bp] int32 depth rank of resorted pair p
+    pair_valid: jnp.ndarray   # [Bp] bool (real pair, in budget, slot<cap)
+    s_f: jnp.ndarray          # [T+1] int32 run start of frame row fr
+    counts_f: jnp.ndarray     # [T] int32 composited pairs in FRAME order
+                              # (run length minus block pads)
+    perm: jnp.ndarray         # [T] int32 frame row -> original tile id
+    order: jnp.ndarray        # [N] int32 rank -> gaussian id
+    counts: jnp.ndarray       # [T] int32 true occupancy (tile order)
+    num_pairs: jnp.ndarray    # scalar int32 true pair count (audit vs B)
+    num_truncated: jnp.ndarray
+
+
+def step_over_pairs(pos: jnp.ndarray, vals: jnp.ndarray, budget: int,
+                    dtype=jnp.float32) -> jnp.ndarray:
+    """Stepwise-constant [budget] array: value ``vals[i]`` on
+    [pos[i], pos[i+1]); 0 before pos[0] and after pos[len(vals)].
+
+    Built with one [T]-sized delta scatter + one cumsum — no per-pair
+    gathers (the lesson of the pair-domain backward experiment,
+    KERNELS.md §5.1). Coincident positions telescope.
+    """
+    vals = vals.astype(dtype)
+    prev = jnp.concatenate([jnp.zeros((1,), dtype), vals])
+    deltas = jnp.concatenate([vals, jnp.zeros((1,), dtype)]) - prev
+    out = jnp.zeros((budget,), dtype).at[
+        jnp.clip(pos, 0, budget)].add(deltas, mode="drop")
+    return jnp.cumsum(out)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "width", "height", "tile_size", "cap", "budget",
+    "max_tiles_per_gaussian", "block_tiles"))
+def bin_pairs_frame_order(proj: ProjectedGaussians, width: int,
+                          height: int, tile_size: int, cap: int,
+                          budget: int,
+                          max_tiles_per_gaussian: int = MAX_TILES_PER_GAUSSIAN,
+                          block_tiles: int = 0) -> PairBins:
+    """Bin into frame-ordered pair runs (see :class:`PairBins`).
+
+    Two sorts: the [N*M] fused-key sort (shared with every other binning
+    path) and a cheap [budget(+pads)] re-key sort into occupancy-frame
+    order. All per-pair quantities (frame row, slot index) are built as
+    step functions over the pair index with [T]-sized delta scatters +
+    one cumsum — zero per-pair gathers. ``block_tiles`` > 0 additionally
+    inserts per-block brick-alignment pads (class docstring).
+    """
+    T = tile_grid(width, height, tile_size)[2]
+    n = proj.depths.shape[0]
+    sorted_keys, starts, counts, order, num_trunc = _sort_pairs(
+        proj, width, height, tile_size, max_tiles_per_gaussian)
+    total = starts[-1].astype(jnp.int32)
+
+    # occupancy-descending frame order
+    _, perm = jax.lax.sort_key_val(-counts, jnp.arange(T, dtype=jnp.int32))
+    inv_perm = jnp.zeros((T,), jnp.int32).at[perm].set(
+        jnp.arange(T, dtype=jnp.int32), unique_indices=True)
+
+    keys = sorted_keys
+    if keys.shape[0] < budget:
+        keys = jnp.pad(keys, (0, budget - keys.shape[0]),
+                       constant_values=2 ** 31 - 1)
+    pk = jax.lax.slice_in_dim(keys, 0, budget)
+    pp = jnp.arange(budget, dtype=jnp.int32)
+    bounds = starts.astype(jnp.int32)                 # [T+1]
+    s = bounds[:-1]
+    # per-pair frame row and slot index as step functions of p
+    fr_of_p = step_over_pairs(bounds, inv_perm, budget, jnp.int32)
+    slot_of_p = pp + step_over_pairs(bounds, -s, budget, jnp.int32)
+    valid = (pp < total) & (slot_of_p < cap)
+    rank = pk & RANK_MASK
+    new_key = jnp.where(valid, (fr_of_p << RANK_BITS) | rank,
+                        jnp.int32(2 ** 31 - 1))
+
+    pads_f = None
+    if block_tiles > 0:
+        # per-block brick alignment: block b's run length is known BEFORE
+        # the re-sort (sum of clipped counts over its tiles), so its pad
+        # count is static data — pads get keys that sort at the END of
+        # the block's last frame row, with ranks above every real rank
+        if n > RANK_MASK - 127:
+            raise ValueError(
+                f"{n} Gaussians leave no rank headroom for brick pads")
+        Tp = cdiv(T, block_tiles) * block_tiles
+        counts_fc_all = jnp.pad(jnp.minimum(counts[perm], cap),
+                                (0, Tp - T))
+        per_block = counts_fc_all.reshape(-1, block_tiles).sum(axis=1)
+        # budget drops shorten runs; clamp so pads never push a block
+        # past its static window
+        pads_b = (-per_block) % 128                   # [G]
+        G = per_block.shape[0]
+        last_fr = (jnp.arange(G, dtype=jnp.int32) * block_tiles
+                   + block_tiles - 1)
+        jj = jnp.arange(127, dtype=jnp.int32)[None, :]
+        pad_keys = jnp.where(
+            jj < pads_b[:, None],
+            (jnp.minimum(last_fr, T - 1)[:, None] << RANK_BITS)
+            | (RANK_MASK - jj),
+            jnp.int32(2 ** 31 - 1)).reshape(-1)
+        new_key = jnp.concatenate([new_key, pad_keys])
+        # per-frame-row pad counts (non-zero only on block-last rows)
+        pads_f = jnp.zeros((Tp,), jnp.int32).at[
+            jnp.minimum(last_fr, T - 1)].add(pads_b)[:T]
+
+    rk = jax.lax.sort(new_key)
+
+    boundaries = (jnp.arange(T + 1, dtype=jnp.int32) << RANK_BITS)
+    s_f = jnp.searchsorted(rk, boundaries).astype(jnp.int32)
+    # ACTUAL composited run lengths (exact even when pairs past the
+    # budget were dropped): searchsorted diffs minus the block pads —
+    # this is what masks garbage rows in the kernel walk
+    counts_f = s_f[1:] - s_f[:-1]
+    if pads_f is not None:
+        counts_f = counts_f - pads_f
+    ranks_out = jnp.clip(rk & RANK_MASK, 0, max(n - 1, 0))
+    pair_valid = (rk != jnp.int32(2 ** 31 - 1)) & \
+        ((rk & RANK_MASK) < jnp.int32(max(n, 1)))
+    return PairBins(
+        pair_ranks=ranks_out, pair_valid=pair_valid,
+        s_f=s_f, counts_f=counts_f, perm=perm, order=order,
+        counts=counts, num_pairs=total, num_truncated=num_trunc)
+
+
 def _sort_pairs(proj: ProjectedGaussians, width: int, height: int,
                 tile_size: int, m: int):
     """Expand Gaussians into (tile, depth-rank) pairs and sort by fused key.

@@ -10,6 +10,18 @@ expressed with ``shard_map`` so XLA inserts the ICI collectives:
   batch-step counter, direction/ratio losses every 5 batch steps, absgrad
   accumulation). Large-batch THROUGHPUT semantics — the reference's exact
   per-view SGD cadence is parallel/train_sharded.py's job.
+
+  **Hierarchical composition** (the production multi-host recipe,
+  docs/SCALING.md §4): when the mesh's 'tiles' axis has size > 1, each
+  view's render+backward additionally spans the 'tiles' axis — every
+  device renders its tile-row BAND of its view shard (band-partial losses
+  from parallel/bands.py), and gradients psum over BOTH axes. DP across
+  hosts rides the cheap per-batch psum over DCN while tile-band splits
+  each render's latency/memory inside a host over ICI. Composition is
+  exact: band renders equal the matching rows of a full render and band
+  losses sum to the full-image loss, so a (v, t) mesh follows the
+  (v, 1) trajectory to f32 reduction-order noise
+  (tests/test_train_dp_trajectory.py).
 - :func:`make_tile_sharded_render` — *tile* mode: one view's tile axis is
   sharded so a single render (and its backward) spans the 'tiles' axis;
   parameter gradients psum back to replicas. Preserves per-view SGD
@@ -30,6 +42,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from edgegaussians_tpu.config import FrameworkConfig
 from edgegaussians_tpu.ops import vma as vma_mod
 from edgegaussians_tpu.models import losses
+from edgegaussians_tpu.parallel import bands
 from edgegaussians_tpu.models.gaussians import GaussianParams, render_view
 from edgegaussians_tpu.train import optim
 from edgegaussians_tpu.train.trainer import TrainState
@@ -40,16 +53,38 @@ def make_dp_train_step(cfg: FrameworkConfig, width: int, height: int,
     """Build a jitted view-data-parallel batch step.
 
     Views (axis 0 of images/viewmats/Ks) must be sharded across the 'views'
-    mesh axis and divisible by its size; parameters replicated.
+    mesh axis and divisible by its size; parameters replicated. When the
+    mesh's 'tiles' axis has size > 1, each render additionally spans that
+    axis (hierarchical DP x tile-band — module docstring).
+
+    Returns ``dp_step(ts, epoch, images, edge_masks, viewmats, Ks) ->
+    (ts, batch_mean_loss, max_pairs)`` where ``max_pairs`` is the batch's
+    peak per-render (tile, Gaussian) pair count (0 when the pair-prefix
+    path is off) — the overflow watermark trainer.train checks against
+    ``tile_pair_budget``.
     """
     mcfg = cfg.model
     pl_cfg = cfg.training.loss.projection_losses
+    from edgegaussians_tpu.ops.tiles import tile_grid
+    ntx, nty, num_tiles = tile_grid(width, height, mcfg.tile_size)
+    n_tiles_axis = dict(mesh.shape).get("tiles", 1)
+    composed = n_tiles_axis > 1
+    if composed:
+        rows_per, band_h, pad_h = bands.band_geometry(
+            width, height, mcfg.tile_size, n_tiles_axis)
+        ovf_full = mcfg.tile_overflow_tiles or max(num_tiles // 4, 8)
+        overflow_tiles = min(ovf_full, rows_per * ntx)
+    else:
+        rows_per, band_h, pad_h = nty, nty * mcfg.tile_size, \
+            nty * mcfg.tile_size
+        overflow_tiles = mcfg.tile_overflow_tiles
     render_kwargs = dict(
         tile_size=mcfg.tile_size, capacity=mcfg.tile_gaussian_capacity,
         dense_capacity=mcfg.tile_dense_capacity,
-        overflow_tiles=mcfg.tile_overflow_tiles,
+        overflow_tiles=overflow_tiles,
         pair_budget=mcfg.tile_pair_budget,
         occupancy_sort=mcfg.tile_occupancy_sort,
+        pair_kernel=mcfg.tile_pair_kernel,
         max_tiles_per_gaussian=mcfg.max_tiles_per_gaussian,
         backend=backend, antialiased=(mcfg.rasterize_mode == "antialiased"))
     strat_before = losses_strategy_index(pl_cfg.loss_before_alternating)
@@ -61,8 +96,15 @@ def make_dp_train_step(cfg: FrameworkConfig, width: int, height: int,
     enforce = ol_cfg.dir_loss_enforce_method
 
     def local_grads(params, alive, images, edge_masks, viewmats, Ks, key,
-                    strategy_idx, lambda_proj, bg_ratio):
-        """Grad sum over this device's views (lax.scan, rematerialized)."""
+                    strategy_idx, lambda_proj, bg_ratio, row0):
+        """Grad sum over this device's views (lax.scan, rematerialized).
+
+        ``row0``: this device's first tile row (composed mode; 0 and
+        unused otherwise). Composed mode renders only the [row0,
+        row0+rows_per) band of each view and computes band-PARTIAL losses;
+        the caller's psum over ('views','tiles') is then the exact
+        full-batch reduction.
+        """
         nv = images.shape[0]
         # Differentiate w.r.t. VARYING params so grads stay per-device
         # partials and the explicit psum below is the one true reduction.
@@ -70,13 +112,32 @@ def make_dp_train_step(cfg: FrameworkConfig, width: int, height: int,
         # back already cross-device-summed (the auto-inserted pvary
         # transposes to a psum), which made the explicit psum overcount by
         # the axis size — measured 4x on a 4-way mesh.
-        params = jax.tree.map(lambda x: vma_mod.match_vma(x, images), params)
+        vrefs = (images, row0) if composed else (images,)
+        params = jax.tree.map(lambda x: vma_mod.match_vma(x, *vrefs),
+                              params)
+        y0 = (row0 * mcfg.tile_size).astype(jnp.int32)
 
         def one_view(carry, iv):
-            gsum, lsum, asum, key = carry
+            gsum, lsum, asum, psum_pairs, key = carry
             key, k_bg = jax.random.split(key)
 
             def loss_fn(p, sink):
+                if composed:
+                    out = render_view(p, alive, viewmats[iv], Ks[iv],
+                                      width, height, absgrad_sink=sink,
+                                      band_row0=row0,
+                                      band_tile_rows=rows_per,
+                                      **render_kwargs)
+                    pred = jnp.clip(out.image, 0.0, 1.0)
+                    gt_b, em_b, valid_b = bands.band_inputs(
+                        images[iv], edge_masks[iv], y0, band_h, pad_h,
+                        height, width)
+                    l = bands.band_partial_loss(
+                        pred, gt_b, em_b, valid_b, edge_masks[iv],
+                        strategy_idx, bg_ratio, k_bg,
+                        loss_type=pl_cfg.loss_type, height=height,
+                        width=width, y0=y0, band_h=band_h, pad_h=pad_h)
+                    return l, out
                 out = render_view(p, alive, viewmats[iv], Ks[iv],
                                   width, height, absgrad_sink=sink,
                                   **render_kwargs)
@@ -92,51 +153,80 @@ def make_dp_train_step(cfg: FrameworkConfig, width: int, height: int,
                 ]
                 return jax.lax.switch(strategy_idx, branches), out
 
-            # the sink's cotangent varies over 'views' (it is derived from
-            # the device-local image loss), so the primal must be declared
-            # varying too — and OUTSIDE loss_fn, else the pvary transposes
-            # to a psum and absgrad becomes norm-of-sum across devices
+            # the sink's cotangent varies over 'views' (+ 'tiles' in
+            # composed mode: it is derived from the device-local band
+            # loss), so the primal must be declared varying too — and
+            # OUTSIDE loss_fn, else the pvary transposes to a psum and
+            # absgrad becomes norm-of-sum across devices
             sink0 = vma_mod.match_vma(
-                jnp.zeros((params.means.shape[0], 2), jnp.float32), images)
-            (l, _), (g, gsink) = jax.value_and_grad(
+                jnp.zeros((params.means.shape[0], 2), jnp.float32),
+                *vrefs)
+            (l, out), (g, gsink) = jax.value_and_grad(
                 loss_fn, argnums=(0, 1), has_aux=True)(params, sink0)
+            if composed:
+                # absgrad is norm-of-the-TILE-SUM per render
+                # (edge_gs.py:607-613); bands hold disjoint tile subsets,
+                # so the [N,2] sink cotangent psums over 'tiles' BEFORE
+                # the norm — a small per-view collective (8N bytes)
+                gsink = jax.lax.psum(gsink, ("tiles",))
+            if out.num_pairs is not None:
+                psum_pairs = jnp.maximum(psum_pairs, out.num_pairs)
             gsum = jax.tree.map(jnp.add, gsum, g)
             return (gsum, lsum + l,
-                    asum + jnp.linalg.norm(gsink, axis=-1), key), None
+                    asum + jnp.linalg.norm(gsink, axis=-1), psum_pairs,
+                    key), None
 
-        # the scan carry becomes device-varying over the 'views' axis; mark
-        # the initial zeros accordingly (new shard_map vma tracking)
+        # the scan carries become device-varying over the sharded axes;
+        # mark the initial zeros accordingly (shard_map vma tracking)
         def vary(x):
+            return vma_mod.match_vma(x, *vrefs)
+
+        def vary_v(x):      # 'views'-only (post-tiles-psum quantities)
             return vma_mod.match_vma(x, images)
 
         gsum0 = jax.tree.map(lambda x: vary(jnp.zeros_like(x)), params)
-        (gsum, lsum, asum, _), _ = jax.lax.scan(
+        (gsum, lsum, asum, pairs, _), _ = jax.lax.scan(
             one_view, (gsum0, vary(jnp.float32(0.0)),
-                       vary(jnp.zeros((params.means.shape[0],))), key),
+                       vary_v(jnp.zeros((params.means.shape[0],))),
+                       vary(jnp.int32(0)), key),
             jnp.arange(nv))
-        return gsum, lsum, asum
+        return gsum, lsum, asum, pairs
 
     @functools.partial(
         vma_mod.shard_map_for_backend, mesh=mesh,
         in_specs=(P(), P(), P("views"), P("views"), P("views"), P("views"),
                   P(), P(), P(), P()),
-        out_specs=(P(), P(), P()), backend=backend)
+        out_specs=(P(), P(), P(), P()), backend=backend)
     def sharded_grads(params, alive, images, edge_masks, viewmats, Ks,
                       key, strategy_idx, lambda_proj, bg_ratio):
-        # decorrelate per-device RNG along the views axis (the tiles axis
-        # intentionally replicates DP work: results stay tile-invariant so
-        # the /ntiles correction below is exact)
+        # decorrelate per-device RNG along the views axis ONLY: devices in
+        # the same view row must share the sampler key (composed mode
+        # band-slices one replicated sampler mask per view; plain mode
+        # replicates the whole render across 'tiles')
         vid = jax.lax.axis_index("views")
         key = jax.random.fold_in(key, vid)
-        g, l, a = local_grads(params, alive, images, edge_masks,
-                              viewmats, Ks, key, strategy_idx, lambda_proj,
-                              bg_ratio)
-        # values are tile-invariant (DP work is replicated across 'tiles'),
-        # so the reduction rides the 'views' axis only
-        g = jax.lax.psum(g, ("views",))
-        l = jax.lax.psum(l, ("views",))
-        a = jax.lax.psum(a, ("views",))
-        return g, l, a
+        row0 = ((jax.lax.axis_index("tiles") * rows_per).astype(jnp.int32)
+                if composed else jnp.int32(0))
+        g, l, a, pairs = local_grads(params, alive, images, edge_masks,
+                                     viewmats, Ks, key, strategy_idx,
+                                     lambda_proj, bg_ratio, row0)
+        if composed:
+            # band partials reduce over BOTH axes; absgrad already
+            # tiles-psum'd per view, so it rides 'views' only
+            g = jax.lax.psum(g, ("views", "tiles"))
+            l = jax.lax.psum(l, ("views", "tiles"))
+            a = jax.lax.psum(a, ("views",))
+            # every band enjoys the full pair budget -> watermark is the
+            # busiest band (pmax), matching train_sharded.py
+            pairs = jax.lax.pmax(pairs, ("views", "tiles"))
+        else:
+            # values are tile-invariant (DP work is replicated across
+            # 'tiles'), so the reduction rides the 'views' axis only
+            g = jax.lax.psum(g, ("views",))
+            l = jax.lax.psum(l, ("views",))
+            a = jax.lax.psum(a, ("views",))
+            pairs = jax.lax.pmax(pairs, ("views",))
+        return g, l, a, pairs
 
     @jax.jit
     def dp_step(ts: TrainState, epoch, images, edge_masks, viewmats, Ks
@@ -160,7 +250,7 @@ def make_dp_train_step(cfg: FrameworkConfig, width: int, height: int,
                         strat_more)
         strategy_idx = jnp.where(
             epoch > pl_cfg.start_alternating_at_epoch, alt, strat_before)
-        grads, loss_sum, absgrad = sharded_grads(
+        grads, loss_sum, absgrad, max_pairs = sharded_grads(
             gs.params, gs.alive, images, edge_masks, viewmats, Ks,
             k_step, strategy_idx, lambda_proj, bg_ratio)
         grads = jax.tree.map(
@@ -218,7 +308,7 @@ def make_dp_train_step(cfg: FrameworkConfig, width: int, height: int,
             absgrads=gs.absgrads + absgrad * lambda_proj / num_views,
             absgrad_count=gs.absgrad_count + 1.0)
         ts = TrainState(gaussians=gs, opt=opt, step=step, key=key)
-        return ts, loss_sum / num_views
+        return ts, loss_sum / num_views, max_pairs
 
     dp_step.sharded_grads = sharded_grads   # exposed for equivalence tests
     return dp_step

@@ -39,13 +39,13 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from edgegaussians_tpu.config import FrameworkConfig
-from edgegaussians_tpu.models import losses
 from edgegaussians_tpu.ops import vma as vma_mod
 from edgegaussians_tpu.ops.projection import (ProjectedGaussians,
                                               project_gaussians)
 from edgegaussians_tpu.ops.rasterize import rasterize_packed
 from edgegaussians_tpu.ops.tiles import pack_gaussian_render_data, tile_grid
-from edgegaussians_tpu.parallel.train_sharded import band_geometry
+from edgegaussians_tpu.parallel import bands
+from edgegaussians_tpu.parallel.bands import band_geometry
 from edgegaussians_tpu.train import trainer as trainer_mod
 from edgegaussians_tpu.train.trainer import ProjGradStats
 
@@ -71,13 +71,10 @@ def make_tp_proj_grad_fn(cfg: FrameworkConfig, width: int, height: int,
         overflow_tiles=min(ovf_full, rows_per * ntx),
         pair_budget=mcfg.tile_pair_budget,
         occupancy_sort=mcfg.tile_occupancy_sort,
+        pair_kernel=mcfg.tile_pair_kernel,
         max_tiles_per_gaussian=mcfg.max_tiles_per_gaussian,
         backend=backend)
     antialiased = mcfg.rasterize_mode == "antialiased"
-    hw = jnp.float32(height * width)
-
-    def pad_rows(img):
-        return jnp.pad(img, ((0, pad_h - height), (0, 0)))
 
     @functools.partial(vma_mod.shard_map_for_backend, mesh=mesh,
                        in_specs=(P(),) * 9,
@@ -102,51 +99,16 @@ def make_tp_proj_grad_fn(cfg: FrameworkConfig, width: int, height: int,
         sink0 = vma_mod.match_vma(
             jnp.zeros((n, 2), jnp.float32), row0)
 
-        gt_b = jax.lax.dynamic_slice_in_dim(pad_rows(gt), y0, band_h,
-                                            axis=0)
-        em_b = jax.lax.dynamic_slice_in_dim(
-            pad_rows(edge_mask.astype(jnp.float32)), y0, band_h, axis=0)
-        yy = (jnp.arange(band_h, dtype=jnp.int32) + y0)[:, None]
-        valid_b = jnp.broadcast_to((yy < height).astype(jnp.float32),
-                                   (band_h, width))
+        gt_b, em_b, valid_b = bands.band_inputs(gt, edge_mask, y0, band_h,
+                                                pad_h, height, width)
 
         def band_loss(pred):
             # band-PARTIAL losses with globally-known denominators; see
-            # parallel/train_sharded.py for why no psum may appear here
-            adiff = jnp.abs(pred - gt_b) * valid_b
-
-            def whole():
-                if pl_cfg.loss_type == "l2":
-                    return jnp.sum(((pred - gt_b) ** 2) * valid_b) / hw
-                return jnp.sum(adiff) / hw
-
-            def bg_edge_ratio():
-                num_edge = jnp.sum(edge_mask)
-                edge_cnt = jnp.maximum(num_edge.astype(jnp.float32), 1.0)
-                edge_loss = jnp.sum(adiff * em_b) / edge_cnt
-                num_bg_all = height * width - num_edge
-                num_bg_sample = (bg_ratio * num_edge).astype(jnp.int32)
-                flat = jnp.arange(height * width)
-                scores = jax.random.uniform(key, (height * width,))
-                scores = jnp.where(flat < num_bg_all, scores, 2.0)
-                kth = losses._kth_smallest(scores, num_bg_sample)
-                smask = ((scores <= kth) & (flat < num_bg_all)
-                         & (num_bg_sample > 0)).reshape(height, width)
-                denom = jnp.maximum(jnp.sum(smask.astype(jnp.float32)),
-                                    1.0)
-                sm_b = jax.lax.dynamic_slice_in_dim(
-                    pad_rows(smask.astype(jnp.float32)), y0, band_h,
-                    axis=0)
-                return edge_loss + jnp.sum(adiff * sm_b) / denom
-
-            def weighted():
-                num_edge = jnp.sum(edge_mask).astype(jnp.float32)
-                num_bg = hw - num_edge
-                w_b = jnp.where(em_b > 0, num_bg / hw, num_edge / hw)
-                return jnp.sum(w_b * adiff) / hw
-
-            return jax.lax.switch(strategy_idx,
-                                  [whole, bg_edge_ratio, weighted])
+            # parallel/bands.py for why no psum may appear here
+            return bands.band_partial_loss(
+                pred, gt_b, em_b, valid_b, edge_mask, strategy_idx,
+                bg_ratio, key, loss_type=pl_cfg.loss_type, height=height,
+                width=width, y0=y0, band_h=band_h, pad_h=pad_h)
 
         def loss_fn(p_sh, sink):
             # 1. project MY parameter shard

@@ -109,6 +109,9 @@ def _cfg_memo_key(cfg: FrameworkConfig, program: str = "epoch") -> str:
     if program == "epoch":
         for f in _DENSITY_ONLY_MODEL_FIELDS:
             d["model"].pop(f, None)
+        # the kNN backend env override is baked into the traced program
+        # (ops/knn.py resolves it at trace time), so it must key the memo
+        d["_eg_knn_backend"] = os.environ.get("EG_KNN_BACKEND", "")
     elif program == "density":
         # the density program reads only the model section
         d = {"model": d["model"]}
@@ -142,6 +145,7 @@ def make_proj_grad_fn(cfg: FrameworkConfig, width: int, height: int,
         overflow_tiles=mcfg.tile_overflow_tiles,
         pair_budget=mcfg.tile_pair_budget,
         occupancy_sort=mcfg.tile_occupancy_sort,
+        pair_kernel=mcfg.tile_pair_kernel,
         max_tiles_per_gaussian=mcfg.max_tiles_per_gaussian,
         backend=backend, antialiased=(mcfg.rasterize_mode == "antialiased"))
 
@@ -551,9 +555,19 @@ def train(scene, seed_points: np.ndarray, cfg: FrameworkConfig,
         from edgegaussians_tpu.parallel import mesh as mesh_mod
         from edgegaussians_tpu.parallel import train_dp
         make_mesh_epoch_fn, epoch_fn = None, None
-        dp_mesh = mesh if (mesh is not None and "views" in mesh.shape) \
+        if mesh is not None and "views" not in mesh.shape:
+            raise ValueError(
+                "step_mode='view_batch' needs a mesh with a 'views' axis; "
+                f"got axes {tuple(mesh.shape)} — pass --mesh_views (or a "
+                "('views','tiles') mesh) instead of --mesh_tiles/"
+                "--mesh_gauss")
+        dp_mesh = mesh if mesh is not None \
             else mesh_mod.make_mesh(view_axis=1, tile_axis=1)
-        bsz0 = cfg.training.view_batch_size or scene.num_views
+        # a batch can never exceed the scene's view count: clamp BEFORE the
+        # divisibility check so the value validated is the batch actually
+        # gathered each step
+        bsz0 = min(cfg.training.view_batch_size or scene.num_views,
+                   scene.num_views)
         if bsz0 % dp_mesh.shape["views"]:
             raise ValueError(
                 f"view_batch_size {bsz0} must divide by the 'views' mesh "
@@ -576,7 +590,7 @@ def train(scene, seed_points: np.ndarray, cfg: FrameworkConfig,
     else:
         make_mesh_epoch_fn = None
         epoch_fn = make_epoch_fn(cfg, scene.width, scene.height, backend)
-    pair_mode = bool(cfg.model.tile_pair_budget) and dp_step is None
+    pair_mode = bool(cfg.model.tile_pair_budget)
     density_fn = make_density_fn(cfg)
     grow_at = cfg.model.staged_capacity_grow_threshold
 
@@ -601,21 +615,25 @@ def train(scene, seed_points: np.ndarray, cfg: FrameworkConfig,
             jax.profiler.start_trace(profile_dir)
         if dp_step is not None:
             nv = scene.num_views
-            bsz = cfg.training.view_batch_size or nv
+            bsz = min(cfg.training.view_batch_size or nv, nv)
             nb = max(nv // bsz, 1)
             perm = dp_rng.permutation(nv)[:nb * bsz]
             loss_sum = jnp.float32(0.0)
+            dp_pairs = jnp.int32(0)
             for i in range(nb):
                 sel = jnp.asarray(np.sort(perm[i * bsz:(i + 1) * bsz]))
-                ts, loss = dp_step(ts, jnp.int32(epoch), images[sel],
-                                   edge_masks[sel], viewmats[sel], Ks[sel])
+                ts, loss, bp = dp_step(ts, jnp.int32(epoch), images[sel],
+                                       edge_masks[sel], viewmats[sel],
+                                       Ks[sel])
                 loss_sum = loss_sum + loss
+                dp_pairs = jnp.maximum(dp_pairs, bp)
             stats = EpochStats(
                 avg_loss=loss_sum / nb,
                 num_alive=ts.gaussians.num_alive(),
                 max_tile_count=jnp.int32(0),
                 max_overflow_tiles=jnp.int32(0),
-                max_truncated=jnp.int32(0), max_pairs=None)
+                max_truncated=jnp.int32(0),
+                max_pairs=(dp_pairs if pair_mode else None))
         else:
             ts, stats = epoch_fn(ts, jnp.int32(epoch), images, edge_masks,
                                  viewmats, Ks)
@@ -677,7 +695,11 @@ def train(scene, seed_points: np.ndarray, cfg: FrameworkConfig,
                 dense_cfg = dataclasses.replace(
                     cfg, model=dataclasses.replace(
                         cfg.model, tile_pair_budget=0))
-                if mesh is not None:
+                if dp_step is not None:
+                    dp_step = train_dp.make_dp_train_step(
+                        dense_cfg, scene.width, scene.height, backend,
+                        dp_mesh)
+                elif mesh is not None:
                     epoch_fn = make_mesh_epoch_fn(
                         dense_cfg, scene.width, scene.height, backend, mesh,
                         axis=mesh_strategy)

@@ -1,20 +1,40 @@
 """One process of a multi-process (multi-controller) training run.
 
-Validates the DCN/coordination path end-to-end (VERDICT r2 item 2): N
-processes — each owning a subset of devices — jointly run the
-full-semantics tile-band-sharded epoch program over ONE global mesh, with
-per-render parameter-gradient psums crossing the process boundary (Gloo on
-CPU; ICI/DCN on a real pod). The reference has no multi-process anything
+Validates the DCN/coordination path end-to-end for EVERY sharded strategy
+(VERDICT r2 item 2, extended r4 item 4): N processes — each owning a
+subset of devices — jointly run a sharded training program over ONE global
+mesh, with its collectives crossing the process boundary (Gloo on CPU;
+ICI/DCN on a real pod). The reference has no multi-process anything
 (train_gaussians.py:290 picks a single torch device), so the oracle is our
 own single-process trajectory: every process must end bit-for-bit (to f32
-reduction noise) where the single-process sharded run ends.
+reduction noise) where the single-process run of the identical program
+ends.
+
+Strategies (``--strategy``):
+
+- ``tiles``  — full-semantics tile-band epoch (per-render grad psums;
+  parallel/train_sharded.py),
+- ``tp``     — Gaussian-axis tensor-parallel epoch: the per-render
+  all-gather of packed rows, its reduce-scatter transpose, and the
+  full-grad reassembly psum all cross the process boundary
+  (parallel/train_tp.py),
+- ``dp``     — view-DP batch steps (per-batch grad psum;
+  parallel/train_dp.py),
+- ``dp_tiles`` — the hierarchical composition: a (views x tiles) mesh
+  laid out so the 'views' axis spans PROCESSES and the 'tiles' axis stays
+  process-local — DP across "hosts", tile-band inside each — the
+  multi-host production recipe of docs/SCALING.md §4.
+
+Per-epoch wall times are recorded (first epoch = compile, excluded from
+the steady mean) so multi-controller collective cost is a measured
+number, not an inference from d=1.
 
 Launched by tests/test_multiprocess.py (2 processes x 2 virtual CPU
 devices) or by hand:
 
     XLA_FLAGS=--xla_force_host_platform_device_count=2 JAX_PLATFORMS=cpu \
     python scripts/multiprocess_worker.py --coordinator 127.0.0.1:9733 \
-        --num_processes 2 --process_id <i> --out /tmp/mp_out
+        --num_processes 2 --process_id <i> --strategy tp --out /tmp/mp_out
 
 On a TPU pod each host runs this pattern via cli/train.py, which calls
 distributed.initialize() unconditionally (env-var driven, no-op when
@@ -24,6 +44,7 @@ single-process).
 import argparse
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -63,12 +84,73 @@ def build_cfg():
     return cfg
 
 
+DP_BATCH = 4    # views per DP batch step (divides both dp mesh layouts)
+
+
+def build_mesh_and_step(strategy, cfg, W, H):
+    """(mesh, run_one(ts, step_idx, data) -> (ts, loss)) for a strategy."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from edgegaussians_tpu.parallel import (distributed, mesh as mesh_mod,
+                                            train_dp, train_sharded,
+                                            train_tp)
+
+    if strategy == "tiles":
+        mesh = distributed.tiles_mesh()
+        epoch_fn = train_sharded.make_sharded_epoch_fn(cfg, W, H, "jax",
+                                                       mesh)
+
+        def run_one(ts, i, data):
+            images, edge_masks, vms, Ks, ep = data(i)
+            ts, stats = epoch_fn(ts, ep, images, edge_masks, vms, Ks)
+            return ts, stats.avg_loss
+        return mesh, run_one
+
+    if strategy == "tp":
+        mesh = Mesh(np.array(jax.devices()), ("gauss",))
+        epoch_fn = train_tp.make_tp_epoch_fn(cfg, W, H, "jax", mesh)
+
+        def run_one(ts, i, data):
+            images, edge_masks, vms, Ks, ep = data(i)
+            ts, stats = epoch_fn(ts, ep, images, edge_masks, vms, Ks)
+            return ts, stats.avg_loss
+        return mesh, run_one
+
+    n = jax.device_count()
+    if strategy == "dp":
+        mesh = mesh_mod.make_mesh(view_axis=n, tile_axis=1,
+                                  devices=jax.devices())
+    elif strategy == "dp_tiles":
+        # 'views' axis spans processes (devices of one process are
+        # contiguous in jax.devices()), 'tiles' stays process-local: DP
+        # across hosts x tile-band inside a host
+        per_proc = jax.local_device_count()
+        mesh = mesh_mod.make_mesh(view_axis=n // per_proc,
+                                  tile_axis=per_proc,
+                                  devices=jax.devices())
+    else:
+        raise SystemExit(f"unknown strategy {strategy}")
+    dp_step = train_dp.make_dp_train_step(cfg, W, H, "jax", mesh)
+
+    def run_one(ts, i, data):
+        images, edge_masks, vms, Ks, ep = data(i)
+        sl = slice(0, DP_BATCH)
+        ts, loss, _ = dp_step(ts, ep, images[sl], edge_masks[sl],
+                              vms[sl], Ks[sl])
+        return ts, loss
+    return mesh, run_one
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--coordinator", required=True)
     ap.add_argument("--num_processes", type=int, required=True)
     ap.add_argument("--process_id", type=int, required=True)
     ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--strategy", default="tiles",
+                    choices=["tiles", "tp", "dp", "dp_tiles"])
     ap.add_argument("--out", required=True)
     args = ap.parse_args()
 
@@ -87,15 +169,13 @@ def main():
 
     import jax.numpy as jnp
 
-    from edgegaussians_tpu.parallel import train_sharded
     from edgegaussians_tpu.train import trainer
 
     seeds, images, edge_masks, vms, Ks = build_scene()
     cfg = build_cfg()
     W, H = images.shape[2], images.shape[1]
 
-    mesh = distributed.tiles_mesh()           # all global devices
-    epoch_fn = train_sharded.make_sharded_epoch_fn(cfg, W, H, "jax", mesh)
+    mesh, run_one = build_mesh_and_step(args.strategy, cfg, W, H)
 
     ts = trainer.init_train_state(seeds, cfg)
     # promote process-local values to fully-replicated global arrays
@@ -103,19 +183,27 @@ def main():
     images, edge_masks, vms, Ks = distributed.replicate(
         (images, edge_masks, vms, Ks), mesh)
 
-    loss = None
+    def data(i):
+        return (images, edge_masks, vms, Ks,
+                distributed.replicate(jnp.int32(i), mesh))
+
+    loss, times = None, []
     for ep in range(args.epochs):
-        ts, stats = epoch_fn(ts, distributed.replicate(jnp.int32(ep), mesh),
-                             images, edge_masks, vms, Ks)
-        loss = float(stats.avg_loss)
-        print(f"[p{pid}] epoch {ep}: loss={loss:.6f}", flush=True)
+        t0 = time.perf_counter()
+        ts, loss_arr = run_one(ts, ep, data)
+        jax.block_until_ready(loss_arr)
+        times.append(time.perf_counter() - t0)
+        loss = float(loss_arr)
+        print(f"[p{pid}] {args.strategy} step {ep}: loss={loss:.6f} "
+              f"t={times[-1]*1e3:.1f}ms", flush=True)
 
     os.makedirs(args.out, exist_ok=True)
     np.savez(os.path.join(args.out, f"proc{pid}.npz"),
              means=np.asarray(ts.gaussians.params.means),
              opacities=np.asarray(ts.gaussians.params.opacities),
              absgrads=np.asarray(ts.gaussians.absgrads),
-             loss=np.float32(loss), step=np.asarray(ts.step))
+             loss=np.float32(loss), step=np.asarray(ts.step),
+             epoch_times=np.asarray(times, np.float64))
     print(f"[p{pid}] done", flush=True)
 
 

@@ -57,6 +57,27 @@ def _ensure_native_built():
 _ensure_native_built()
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables between test modules.
+
+    A full-suite run accumulates hundreds of XLA:CPU executables; with the
+    round-4 suite size the accumulated LLVM/compile state starts
+    segfaulting inside backend_compile (observed 3x at the ~90% mark, at
+    whichever module compiles a large program there — the crash point
+    moves with suite content, so it is cumulative state, not a specific
+    program). Clearing per module caps that state; cross-module program
+    reuse is rare, so the recompile cost is small. The trainer program
+    memo would otherwise keep executables alive through the clear."""
+    yield
+    try:
+        from edgegaussians_tpu.train import trainer
+        trainer._PROGRAM_MEMO.clear()
+    except Exception:
+        pass
+    jax.clear_caches()
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)

@@ -416,3 +416,13 @@ def test_bench_sol_model():
     sol2, _ = bench.sol_model(12740, 800, 800,
                               dict(tiles, pair_budget=2 * 49152))
     assert sol2 > sol_s              # more budgeted pairs => more work
+
+    # practical floor: between the ideal bound and the measured step
+    # (round-4 measured ~4.6-4.9 ms at these shapes), and per-stage
+    # terms all positive
+    prac_s, stages = bench.practical_sol_model(12740, 800, 800, tiles)
+    assert sol_s < prac_s < 6e-3, prac_s
+    assert all(v > 0 for v in stages.values())
+    prac2, _ = bench.practical_sol_model(
+        12740, 800, 800, dict(tiles, pair_budget=2 * 49152))
+    assert prac2 > prac_s

@@ -44,8 +44,8 @@ def test_dp_step_matches_single_device_grads():
     mesh = mesh_mod.make_mesh(view_axis=4, tile_axis=2)
     dp_step = train_dp.make_dp_train_step(cfg, W, H, "jax", mesh)
     with mesh:
-        ts2, loss = dp_step(ts, jnp.int32(0), images, edge_masks,
-                            viewmats, Ks)
+        ts2, loss, _ = dp_step(ts, jnp.int32(0), images, edge_masks,
+                               viewmats, Ks)
 
     # single-device reference: mean whole-L1 loss over all views
     def ref_loss(params):
@@ -69,8 +69,8 @@ def test_dp_grads_equal_sequential_grads():
     mesh = mesh_mod.make_mesh(view_axis=4, tile_axis=1)
     dp_step = train_dp.make_dp_train_step(cfg, W, H, "jax", mesh)
     with mesh:
-        ts_dp, _ = dp_step(ts, jnp.int32(0), images, edge_masks,
-                           viewmats, Ks)
+        ts_dp, _, _ = dp_step(ts, jnp.int32(0), images, edge_masks,
+                              viewmats, Ks)
 
     def full_loss(params):
         total = 0.0
@@ -145,7 +145,7 @@ def test_dp_raw_grads_match_sequential_exactly():
     mesh = mesh_mod.make_mesh(view_axis=4, tile_axis=2)
     dp_step = train_dp.make_dp_train_step(cfg, W, H, "jax", mesh)
     with mesh:
-        g, l, a = dp_step.sharded_grads(
+        g, l, a, _ = dp_step.sharded_grads(
             ts.gaussians.params, ts.gaussians.alive, images, edge_masks,
             viewmats, Ks, jax.random.PRNGKey(0), jnp.int32(0),
             jnp.float32(1.0), jnp.float32(1.0))

@@ -202,3 +202,37 @@ def test_sharded_pair_overflow_fallback(tmp_path):
                        log_fn=msgs.append, mesh=mesh)
     assert int(ts.step) == 3 * 2
     assert sum("dense frame path" in m for m in msgs) == 1, msgs
+
+
+def test_sharded_pallas_matches_xla_per_render():
+    """Per-render parity between the strict-vma-checked XLA backend and
+    the UNCHECKED Pallas backend under the same sharded mesh (VERDICT r3
+    item 5: strict-vma cannot trace Pallas bodies in current JAX —
+    scripts/vma_pallas_repro.py — so this per-render equivalence is the
+    CI defense standing in for typed checking on the production path)."""
+    import dataclasses
+    seeds, images, edge_masks, vms, Ks = _scene(num_views=1)
+    cfg = _full_cfg()
+    cfg.model = dataclasses.replace(
+        cfg.model, tile_gaussian_capacity=32, tile_dense_capacity=16,
+        tile_overflow_tiles=4)
+    W, H = images.shape[2], images.shape[1]
+    mesh = Mesh(np.array(jax.devices()[:4]), ("tiles",))
+    ts = trainer.init_train_state(seeds, cfg)
+
+    args = (ts.gaussians.params, ts.gaussians.alive, vms[0], Ks[0],
+            images[0], edge_masks[0], jnp.int32(1), jnp.float32(1.0),
+            jax.random.PRNGKey(3))
+    f_x = jax.jit(train_sharded.make_sharded_proj_grad_fn(
+        cfg, W, H, "jax", mesh))
+    f_p = jax.jit(train_sharded.make_sharded_proj_grad_fn(
+        cfg, W, H, "pallas", mesh))
+    loss_x, _, g_x, s_x = f_x(*args)
+    loss_p, _, g_p, s_p = f_p(*args)
+    assert np.isclose(float(loss_x), float(loss_p), rtol=1e-5)
+    for name in ("means", "scales", "quats", "opacities"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(g_p, name)), np.asarray(getattr(g_x, name)),
+            atol=3e-5, rtol=1e-3, err_msg=f"pallas-vs-xla sharded {name}")
+    np.testing.assert_allclose(np.asarray(s_p), np.asarray(s_x),
+                               atol=3e-5, rtol=1e-3)
