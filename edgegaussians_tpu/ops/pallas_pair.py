@@ -151,9 +151,18 @@ def _chunk_alpha(fc, basis, pen):
 def _fwd_kernel(sbb_ref, sfp_ref, counts_ref, bricks_hbm, basis_ref,
                 out_ref, scratch, sem, *, winb, tb):
     b = pl.program_id(0)
-    dma = pltpu.make_async_copy(
-        bricks_hbm.at[pl.ds(sbb_ref[b], winb)], scratch, sem)
-    dma.start()
+
+    def win_dma(idx):
+        return pltpu.make_async_copy(
+            bricks_hbm.at[pl.ds(sbb_ref[idx], winb)], scratch, sem)
+
+    # cross-grid-step prefetch: each step STARTS the next block's window
+    # DMA after its walk (the scratch is dead by then), so the copy flies
+    # through the out-block write + step transition; step 0 fetches its
+    # own. The wait below matches whichever start targeted this block.
+    @pl.when(b == 0)
+    def _():
+        win_dma(0).start()
     basis = basis_ref[:]                              # [8,P]
     p = basis.shape[1]
     cnts, maxc = _block_scalars(counts_ref, b, tb)
@@ -163,7 +172,7 @@ def _fwd_kernel(sbb_ref, sfp_ref, counts_ref, bricks_hbm, basis_ref,
         rel = sfp_ref[b * tb + i] - sb_pair
         j0s.append(rel // BRICK)
         phs.append(rel % BRICK)
-    dma.wait()
+    win_dma(b).wait()
 
     img0 = jnp.zeros((tb, p), jnp.float32)
     t0 = jnp.ones((tb, p), jnp.float32)
@@ -186,6 +195,10 @@ def _fwd_kernel(sbb_ref, sfp_ref, counts_ref, bricks_hbm, basis_ref,
 
     _, img, _ = jax.lax.while_loop(cond_fn, body,
                                    (jnp.int32(0), img0, t0))
+
+    @pl.when(b + 1 < pl.num_programs(0))
+    def _():
+        win_dma(b + 1).start()
     out_ref[:] = img
 
 
@@ -193,9 +206,19 @@ def _bwd_kernel(sbb_ref, sfp_ref, counts_ref, bricks_hbm, basis_ref,
                 g_ref, total_ref, dout_hbm, scratch, dwin, sem, dsem,
                 *, winb, tb):
     b = pl.program_id(0)
-    dma = pltpu.make_async_copy(
-        bricks_hbm.at[pl.ds(sbb_ref[b], winb)], scratch, sem)
-    dma.start()
+
+    def win_dma(idx):
+        return pltpu.make_async_copy(
+            bricks_hbm.at[pl.ds(sbb_ref[idx], winb)], scratch, sem)
+
+    def out_dma(idx):
+        return pltpu.make_async_copy(
+            dwin, dout_hbm.at[pl.ds(sbb_ref[idx], winb)], dsem)
+
+    # cross-grid-step read prefetch (see _fwd_kernel)
+    @pl.when(b == 0)
+    def _():
+        win_dma(0).start()
     basis = basis_ref[:]
     cnts, maxc = _block_scalars(counts_ref, b, tb)
     sb_pair = sbb_ref[b] * BRICK
@@ -206,7 +229,13 @@ def _bwd_kernel(sbb_ref, sfp_ref, counts_ref, bricks_hbm, basis_ref,
         phs.append(rel % BRICK)
     g = g_ref[:]                                      # [tb,P]
     total = total_ref[:]                              # [tb,P]
-    dma.wait()
+    # the previous block's window write must complete before dwin is
+    # reused AND before this block's write starts (overlapping overhang
+    # regions rely on program-order completion)
+    @pl.when(b > 0)
+    def _():
+        out_dma(b - 1).wait()
+    win_dma(b).wait()
 
     dwin[:] = jnp.zeros_like(dwin)
     needed = (maxc + BRICK - 1) // BRICK
@@ -253,13 +282,22 @@ def _bwd_kernel(sbb_ref, sfp_ref, counts_ref, bricks_hbm, basis_ref,
         (jnp.int32(0), jnp.zeros((tb, basis.shape[1]), jnp.float32),
          jnp.ones((tb, basis.shape[1]), jnp.float32)))
 
-    # one waited store per block; later blocks overwrite this block's
-    # overhang (sequential grid), and garbage rows past s_f[T] are
-    # masked by the caller via pair_valid
-    wdma = pltpu.make_async_copy(
-        dwin, dout_hbm.at[pl.ds(sbb_ref[b], winb)], dsem)
-    wdma.start()
-    wdma.wait()
+    # start this block's window store and prefetch the next read; the
+    # store is WAITED at the start of the next grid step (before dwin
+    # reuse and before the next overlapping store), or here on the last
+    # block. Later blocks overwrite this block's overhang (sequential,
+    # ordered by those waits); garbage rows past s_f[T] are masked by
+    # the caller via pair_valid.
+    out_dma(b).start()
+    nblocks = pl.num_programs(0)
+
+    @pl.when(b + 1 < nblocks)
+    def _():
+        win_dma(b + 1).start()
+
+    @pl.when(b + 1 == nblocks)
+    def _():
+        out_dma(b).wait()
 
 
 def _winb(cap: int, tb: int) -> int:

@@ -152,6 +152,12 @@ def main():
     ap.add_argument("--strategy", default="tiles",
                     choices=["tiles", "tp", "dp", "dp_tiles"])
     ap.add_argument("--out", required=True)
+    ap.add_argument("--capacity", type=int, default=128,
+                    help="Gaussian capacity (131072 = DTU shape; scales "
+                         "TP's all-gather/reduce-scatter wire bytes)")
+    ap.add_argument("--views", type=int, default=6)
+    ap.add_argument("--size", type=int, default=0,
+                    help="override square image size (0 = 64x80 default)")
     args = ap.parse_args()
 
     import jax
@@ -171,8 +177,14 @@ def main():
 
     from edgegaussians_tpu.train import trainer
 
-    seeds, images, edge_masks, vms, Ks = build_scene()
+    kw = dict(num_views=args.views)
+    if args.size:
+        kw.update(width=args.size, height=args.size)
+    seeds, images, edge_masks, vms, Ks = build_scene(**kw)
     cfg = build_cfg()
+    if args.capacity != 128:
+        cfg.model.max_num_gaussians = args.capacity
+        cfg.model.init_min_num_gaussians = min(args.capacity, 4096)
     W, H = images.shape[2], images.shape[1]
 
     mesh, run_one = build_mesh_and_step(args.strategy, cfg, W, H)
