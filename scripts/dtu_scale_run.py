@@ -73,6 +73,8 @@ def main():
                          "many devices (parallel/train_tp.py)")
     ap.add_argument("--pair_budget", type=int, default=-1,
                     help="override tile_pair_budget (-1 = shipped value)")
+    ap.add_argument("--pair_kernel", type=int, default=-1,
+                    help="override tile_pair_kernel (0/1; -1 = shipped)")
     ap.add_argument("--log_interval", type=int, default=0,
                     help="override trainer log cadence (1 = every-epoch "
                          "pair watermark for budget audits)")
@@ -100,6 +102,8 @@ def main():
     cfg["output"]["output_dir"] = f"output_synth/{name}_synth/"
     if args.pair_budget >= 0:
         cfg["model"]["tile_pair_budget"] = args.pair_budget
+    if args.pair_kernel >= 0:
+        cfg["model"]["tile_pair_kernel"] = bool(args.pair_kernel)
     if args.log_interval:
         cfg["training"]["log_interval"] = args.log_interval
     cfg_path = "/tmp/dtu_synth_cfg.json"

@@ -123,3 +123,37 @@ def test_pair_bins_frame_order_tables():
     assert pv.sum() == s_f[-1] == min(int(pb.num_pairs), pv.sum())
     # frame rows partition the valid pairs
     assert int(pb.num_pairs) == int(np.asarray(pb.counts).sum())
+
+
+def test_pair_bins_block_alignment_pads():
+    """With block_tiles set, every block of TB frame rows starts at a
+    128-pair brick boundary, and counts_f excludes the pad pairs (pads
+    carry ranks above every real rank and pair_valid=False)."""
+    *args, width, height = _scene(n=500, seed=7)
+    means, quats, scales, opac, vm, K = args
+    from edgegaussians_tpu.ops.projection import project_gaussians
+    proj = project_gaussians(means, quats, scales, opac, vm, K,
+                             width, height)
+    TB = 4
+    pb = tiles_mod.bin_pairs_frame_order(proj, width, height, 16, 64,
+                                         4096, block_tiles=TB)
+    T = tiles_mod.tile_grid(width, height, 16)[2]
+    s_f = np.asarray(pb.s_f)
+    counts_f = np.asarray(pb.counts_f)
+    # block starts brick-aligned
+    for b0 in range(0, T, TB):
+        assert s_f[b0] % 128 == 0, (b0, s_f[b0])
+    # pads only on block-last rows; counts_f = run length - pads there
+    run = np.diff(s_f)
+    pads = run - counts_f
+    assert (pads >= 0).all()
+    non_last = np.ones(T, bool)
+    non_last[TB - 1::TB] = False
+    assert (pads[non_last] == 0).all()
+    # pad pairs are invalid; real pairs valid
+    pv = np.asarray(pb.pair_valid)
+    assert pv.sum() == counts_f.sum()
+    # composited pairs reproduce the dense render (covered by the parity
+    # tests); here just check ranks of valid pairs are in range
+    rk = np.asarray(pb.pair_ranks)
+    assert (rk[pv] < 500).all()
