@@ -60,6 +60,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from edgegaussians_tpu.ops import vma
 from edgegaussians_tpu.ops.projection import (
     ALPHA_CLAMP, ALPHA_THRESHOLD, SIGMA_GUARD_EPS, TRANSMITTANCE_EPS)
 from edgegaussians_tpu.ops.pallas_raster_v2 import (
@@ -330,7 +331,8 @@ def _pair_fwd(bricks, sbb, sfp, counts_f, basis, cap: int,
                 pltpu.SemaphoreType.DMA,
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((G * tb, p), jnp.float32),
+        out_shape=vma.out_struct((G * tb, p), jnp.float32, bricks, sbb,
+                                 sfp, counts_f),
         cost_estimate=pl.CostEstimate(
             flops=2 * G * tb * cap * 9 * p + 14 * G * tb * cap * p,
             bytes_accessed=G * winb * 8 * BRICK * 4 + G * tb * p * 4,
@@ -369,7 +371,8 @@ def _pair_bwd(bricks, sbb, sfp, counts_f, basis, g, total, cap: int,
                 pltpu.SemaphoreType.DMA,
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct(bricks.shape, jnp.float32),
+        out_shape=vma.out_struct(bricks.shape, jnp.float32, bricks, sbb,
+                                 sfp, counts_f, g, total),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         cost_estimate=pl.CostEstimate(
             flops=4 * G * tb * cap * 9 * p + 28 * G * tb * cap * p,

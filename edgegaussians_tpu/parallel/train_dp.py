@@ -87,6 +87,11 @@ def make_dp_train_step(cfg: FrameworkConfig, width: int, height: int,
         pair_kernel=mcfg.tile_pair_kernel,
         max_tiles_per_gaussian=mcfg.max_tiles_per_gaussian,
         backend=backend, antialiased=(mcfg.rasterize_mode == "antialiased"))
+    # the pair-domain compositor embeds pallas_calls regardless of the
+    # render backend; their traced bodies are not vma-clean (see
+    # scripts/vma_pallas_repro.py), so strict checking must be skipped
+    # whenever the pair kernel is on
+    vma_backend = "pallas" if mcfg.tile_pair_kernel else backend
     strat_before = losses_strategy_index(pl_cfg.loss_before_alternating)
     strat_less = losses_strategy_index(pl_cfg.less_freq_loss)
     strat_more = losses_strategy_index(pl_cfg.more_freq_loss)
@@ -196,7 +201,7 @@ def make_dp_train_step(cfg: FrameworkConfig, width: int, height: int,
         vma_mod.shard_map_for_backend, mesh=mesh,
         in_specs=(P(), P(), P("views"), P("views"), P("views"), P("views"),
                   P(), P(), P(), P()),
-        out_specs=(P(), P(), P(), P()), backend=backend)
+        out_specs=(P(), P(), P(), P()), backend=vma_backend)
     def sharded_grads(params, alive, images, edge_masks, viewmats, Ks,
                       key, strategy_idx, lambda_proj, bg_ratio):
         # decorrelate per-device RNG along the views axis ONLY: devices in

@@ -80,10 +80,16 @@ def make_sharded_proj_grad_fn(cfg: FrameworkConfig, width: int, height: int,
         pair_kernel=mcfg.tile_pair_kernel,
         max_tiles_per_gaussian=mcfg.max_tiles_per_gaussian,
         backend=backend, antialiased=(mcfg.rasterize_mode == "antialiased"))
+    # the pair-domain compositor embeds pallas_calls regardless of the
+    # render backend; their traced bodies are not vma-clean (see
+    # scripts/vma_pallas_repro.py), so strict checking must be skipped
+    # whenever the pair kernel is on
+    vma_backend = "pallas" if mcfg.tile_pair_kernel else backend
 
     @functools.partial(vma_mod.shard_map_for_backend, mesh=mesh,
                        in_specs=(P(),) * 9,
-                       out_specs=(P(), P(), P(), P()), backend=backend)
+                       out_specs=(P(), P(), P(), P()),
+                       backend=vma_backend)
     def sharded(params, alive, viewmat, K, gt, edge_mask, strategy_idx,
                 bg_ratio, key):
         shard = jax.lax.axis_index(axis)

@@ -74,11 +74,14 @@ def make_tp_proj_grad_fn(cfg: FrameworkConfig, width: int, height: int,
         pair_kernel=mcfg.tile_pair_kernel,
         max_tiles_per_gaussian=mcfg.max_tiles_per_gaussian,
         backend=backend)
+    # see train_sharded.py: pair-kernel pallas bodies are not vma-clean
+    vma_backend = "pallas" if mcfg.tile_pair_kernel else backend
     antialiased = mcfg.rasterize_mode == "antialiased"
 
     @functools.partial(vma_mod.shard_map_for_backend, mesh=mesh,
                        in_specs=(P(),) * 9,
-                       out_specs=(P(), P(), P(), P()), backend=backend)
+                       out_specs=(P(), P(), P(), P()),
+                       backend=vma_backend)
     def sharded(params, alive, viewmat, K, gt, edge_mask, strategy_idx,
                 bg_ratio, key):
         n = params.means.shape[0]

@@ -236,3 +236,40 @@ def test_sharded_pallas_matches_xla_per_render():
             atol=3e-5, rtol=1e-3, err_msg=f"pallas-vs-xla sharded {name}")
     np.testing.assert_allclose(np.asarray(s_p), np.asarray(s_x),
                                atol=3e-5, rtol=1e-3)
+
+
+def test_sharded_pair_kernel_matches_reference():
+    """Tile-band sharding with the round-4 pair-domain compositor
+    (tile_pair_kernel) — the path an ABC config + --mesh_tiles runs —
+    must match the unsharded dense render per-render."""
+    import dataclasses
+    seeds, images, edge_masks, vms, Ks = _scene(num_views=1)
+    cfg = _full_cfg()
+    cfg.model = dataclasses.replace(
+        cfg.model, tile_gaussian_capacity=32, tile_dense_capacity=16,
+        tile_overflow_tiles=4, tile_pair_budget=4096,
+        tile_pair_kernel=True)
+    cfg_ref = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, tile_pair_budget=0,
+                                       tile_pair_kernel=False))
+    W, H = images.shape[2], images.shape[1]
+    mesh = Mesh(np.array(jax.devices()[:4]), ("tiles",))
+    ts = trainer.init_train_state(seeds, cfg)
+
+    args = (ts.gaussians.params, ts.gaussians.alive, vms[0], Ks[0],
+            images[0], edge_masks[0], jnp.int32(0), jnp.float32(1.0),
+            jax.random.PRNGKey(5))
+    f_pair = jax.jit(train_sharded.make_sharded_proj_grad_fn(
+        cfg, W, H, "jax", mesh))
+    loss_p, _, g_p, s_p = f_pair(*args)
+
+    proj_ref = trainer.make_proj_grad_fn(cfg_ref, W, H, "jax")
+    loss_r, _, g_r, s_r = jax.jit(proj_ref)(*args)
+    assert np.isclose(float(loss_p), float(loss_r), rtol=1e-5), \
+        (float(loss_p), float(loss_r))
+    for name in ("means", "scales", "quats", "opacities"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(g_p, name)), np.asarray(getattr(g_r, name)),
+            atol=3e-5, rtol=1e-3, err_msg=f"band+pair-kernel {name}")
+    np.testing.assert_allclose(np.asarray(s_p), np.asarray(s_r),
+                               atol=3e-5, rtol=1e-3)
