@@ -427,6 +427,31 @@ def run_density_control(ts: TrainState, epoch: int, cfg: FrameworkConfig,
                        opt=ts.opt._replace(moments=moments)), True
 
 
+def _host_stats(stats: EpochStats) -> EpochStats:
+    """Fetch an epoch's stats with ONE device transfer.
+
+    The train loop reads ~6 scalar diagnostics per epoch (log line + the
+    pair-overflow check). Fetching them field-by-field costs one tunnel
+    round trip EACH on remote-attached TPUs — measured ~3 ms/view of the
+    in-train step (half the non-render residue) on axon, where a scalar
+    fetch is ~20 ms. Stacking on-device and transferring once leaves two
+    round trips per epoch total. Counts fit f32 exactly (< 2^24)."""
+    vals = [stats.avg_loss, stats.num_alive, stats.max_tile_count,
+            stats.max_overflow_tiles, stats.max_truncated]
+    if stats.max_pairs is not None:
+        vals.append(stats.max_pairs)
+    packed = np.asarray(jnp.stack(
+        [jnp.asarray(v, jnp.float32) for v in vals]))
+    return EpochStats(
+        avg_loss=float(packed[0]),
+        num_alive=int(packed[1]),
+        max_tile_count=int(packed[2]),
+        max_overflow_tiles=int(packed[3]),
+        max_truncated=int(packed[4]),
+        max_pairs=(int(packed[5]) if stats.max_pairs is not None
+                   else None))
+
+
 def _put_images(images: np.ndarray) -> jnp.ndarray:
     """Host->device image transfer, as uint8 when lossless.
 
@@ -637,6 +662,7 @@ def train(scene, seed_points: np.ndarray, cfg: FrameworkConfig,
         else:
             ts, stats = epoch_fn(ts, jnp.int32(epoch), images, edge_masks,
                                  viewmats, Ks)
+        stats = _host_stats(stats)
         if prof_stop is not None and prof_start <= epoch < prof_stop and \
                 epoch + 1 == prof_stop:
             jax.block_until_ready(ts.gaussians.params.means)
@@ -647,7 +673,7 @@ def train(scene, seed_points: np.ndarray, cfg: FrameworkConfig,
             # a scheduled duplication can add up to `alive` clones — make
             # room first so the event is not clipped by the current stage
             cap = ts.gaussians.capacity
-            alive = int(ts.gaussians.num_alive())
+            alive = stats.num_alive       # fetched once in _host_stats
             dup_scheduled = (cfg.model.if_duplicate_high_pos_grad and
                              epoch in cfg.model.dup_high_pos_grads_at_epoch)
             want = 2 * alive if dup_scheduled else alive

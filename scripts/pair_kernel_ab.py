@@ -22,7 +22,7 @@ def main():
     args = ap.parse_args()
 
     def base(raw):
-        pass
+        raw["model"]["tile_pair_kernel"] = False
 
     def pairk(raw):
         raw["model"]["tile_pair_kernel"] = True
