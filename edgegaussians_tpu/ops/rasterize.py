@@ -154,18 +154,25 @@ def rasterize_packed(
 
     num_pairs = None
     if pair_kernel and pair_budget > 0:
-        # pair-domain DMA compositor (ops/pallas_pair.py): no dense frame
-        # materialization, single-level per-tile capacity (every tile
-        # composites min(count, capacity) — strictly more complete than
-        # the two-level truncation)
-        from edgegaussians_tpu.ops import pallas_pair
+        # pair-domain DMA compositors: no dense frame materialization,
+        # single-level per-tile capacity (every tile composites
+        # min(count, capacity) — strictly more complete than the
+        # two-level truncation). pair_kernel=True selects the v4
+        # block-window kernel (ops/pallas_pair.py); pair_kernel="seg"
+        # the v5 pair-dense segmented kernel (ops/pallas_segpair.py —
+        # kernel cost proportional to real pairs, no brick pads).
+        variant = pair_kernel if isinstance(pair_kernel, str) else "block"
+        from edgegaussians_tpu.ops import pallas_pair, pallas_segpair
         pbins = tiles_mod.bin_pairs_frame_order(
             jax.lax.stop_gradient(proj), width, height, tile_size,
             capacity, pair_budget,
             max_tiles_per_gaussian=max_tiles_per_gaussian,
-            block_tiles=pallas_pair.pair_block_tiles())
+            block_tiles=(0 if variant == "seg"
+                         else pallas_pair.pair_block_tiles()))
         packed_sorted = packed[pbins.order]
-        img_f = pallas_pair.pair_render(
+        render_fn = (pallas_segpair.segpair_render if variant == "seg"
+                     else pallas_pair.pair_render)
+        img_f = render_fn(
             packed_sorted, pbins, origins, basis, absgrad_sink, capacity,
             None if backend == "pallas" else True)
         # frame order -> tile order (autodiff transposes to a gather)

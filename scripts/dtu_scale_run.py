@@ -75,6 +75,9 @@ def main():
                     help="override tile_pair_budget (-1 = shipped value)")
     ap.add_argument("--pair_kernel", type=int, default=-1,
                     help="override tile_pair_kernel (0/1; -1 = shipped)")
+    ap.add_argument("--train_seed", type=int, default=-1,
+                    help="override training.seed (trajectory spread runs; "
+                         "-1 = shipped value)")
     ap.add_argument("--log_interval", type=int, default=0,
                     help="override trainer log cadence (1 = every-epoch "
                          "pair watermark for budget audits)")
@@ -106,6 +109,8 @@ def main():
         cfg["model"]["tile_pair_kernel"] = bool(args.pair_kernel)
     if args.log_interval:
         cfg["training"]["log_interval"] = args.log_interval
+    if args.train_seed >= 0:
+        cfg["training"]["seed"] = args.train_seed
     cfg_path = "/tmp/dtu_synth_cfg.json"
     json.dump(cfg, open(cfg_path, "w"))
 
