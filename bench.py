@@ -184,10 +184,11 @@ def main():
                     help="override max_tiles_per_gaussian")
     ap.add_argument("--occupancy_sort", type=int, default=None,
                     help="override tile occupancy sorting (0/1)")
-    ap.add_argument("--pair_kernel", type=int, default=None,
-                    help="use the pair-domain DMA compositor "
-                         "(ops/pallas_pair.py) instead of the dense-frame "
-                         "two-level path (0/1)")
+    ap.add_argument("--pair_kernel", type=str, default=None,
+                    help="pair-domain compositor selection: 0 = dense-frame "
+                         "two-level path, 1 = v4 block-window kernel "
+                         "(ops/pallas_pair.py), seg (or 2) = v5 segmented "
+                         "pair-dense kernel (ops/pallas_segpair.py)")
     ap.add_argument("--capacity", type=int, default=None,
                     help="override per-tile slot capacity")
     args = ap.parse_args()
@@ -212,7 +213,9 @@ def main():
     if args.occupancy_sort is not None:
         tiles = dict(tiles, occupancy_sort=bool(args.occupancy_sort))
     if args.pair_kernel is not None:
-        tiles = dict(tiles, pair_kernel=bool(args.pair_kernel))
+        pk = {"0": False, "1": True, "2": "seg"}.get(
+            args.pair_kernel, args.pair_kernel)
+        tiles = dict(tiles, pair_kernel=pk)
     if args.capacity is not None:
         tiles = dict(tiles, capacity=args.capacity)
     target = jnp.zeros((height, width), jnp.float32)

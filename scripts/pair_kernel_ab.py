@@ -27,13 +27,20 @@ def main():
     def pairk(raw):
         raw["model"]["tile_pair_kernel"] = True
 
+    def segk(raw):
+        raw["model"]["tile_pair_kernel"] = "seg"
+
     t_base = run_variant("dense", base, args.epochs, args.out_root)
     t_pair = run_variant("pairk", pairk, args.epochs, args.out_root)
+    t_seg = run_variant("segk", segk, args.epochs, args.out_root)
     print(json.dumps({
         "t_dense_ms_per_view": round(t_base, 3),
         "t_pair_kernel_ms_per_view": round(t_pair, 3),
-        "speedup": round(t_base / t_pair, 3),
-        "in_train_px_s_pair": round(800 * 800 / (t_pair * 1e-3), 1)}))
+        "t_seg_kernel_ms_per_view": round(t_seg, 3),
+        "speedup_pair": round(t_base / t_pair, 3),
+        "speedup_seg": round(t_base / t_seg, 3),
+        "in_train_px_s_pair": round(800 * 800 / (t_pair * 1e-3), 1),
+        "in_train_px_s_seg": round(800 * 800 / (t_seg * 1e-3), 1)}))
 
 
 if __name__ == "__main__":

@@ -238,17 +238,19 @@ def test_sharded_pallas_matches_xla_per_render():
                                atol=3e-5, rtol=1e-3)
 
 
-def test_sharded_pair_kernel_matches_reference():
-    """Tile-band sharding with the round-4 pair-domain compositor
-    (tile_pair_kernel) — the path an ABC config + --mesh_tiles runs —
-    must match the unsharded dense render per-render."""
+@pytest.mark.parametrize("pair_kernel", [True, "seg"])
+def test_sharded_pair_kernel_matches_reference(pair_kernel):
+    """Tile-band sharding with the pair-domain compositors (v4 block
+    kernel / v5 segmented kernel) — the path an ABC config +
+    --mesh_tiles runs — must match the unsharded dense render
+    per-render."""
     import dataclasses
     seeds, images, edge_masks, vms, Ks = _scene(num_views=1)
     cfg = _full_cfg()
     cfg.model = dataclasses.replace(
         cfg.model, tile_gaussian_capacity=32, tile_dense_capacity=16,
         tile_overflow_tiles=4, tile_pair_budget=4096,
-        tile_pair_kernel=True)
+        tile_pair_kernel=pair_kernel)
     cfg_ref = dataclasses.replace(
         cfg, model=dataclasses.replace(cfg.model, tile_pair_budget=0,
                                        tile_pair_kernel=False))
