@@ -100,3 +100,36 @@ def test_tp_proj_grad_large_n_equivalence():
                                        err_msg=f"tp grad scale {name}")
         np.testing.assert_allclose(got, ref, atol=5e-6)
     np.testing.assert_allclose(np.array(gs_t), np.array(gs_r), atol=1e-6)
+
+
+def test_tp_proj_grad_seg_pair_kernel_equivalence():
+    """TP band rendering with the v5 segmented pair compositor
+    (tile_pair_kernel="seg") matches the single-device render — the
+    Gaussian-sharded path a DTU config + --mesh_gauss runs when the seg
+    kernel is enabled."""
+    import dataclasses
+    n = 2048
+    seeds, images, edge_masks, vms, Ks = _scene(1, 64, 64, n)
+    cfg = FrameworkConfig()
+    cfg.model.max_num_gaussians = n
+    cfg.model = dataclasses.replace(
+        cfg.model, tile_gaussian_capacity=64, max_tiles_per_gaussian=8,
+        tile_pair_budget=8192, tile_pair_kernel="seg")
+    W, H = images.shape[2], images.shape[1]
+    mesh = Mesh(np.array(jax.devices()[:4]), ("gauss",))
+    ts = trainer.init_train_state(seeds, cfg)
+
+    tp = train_tp.make_tp_proj_grad_fn(cfg, W, H, "jax", mesh)
+    sd = trainer.make_proj_grad_fn(cfg, W, H, "jax")
+    args = (ts.gaussians.params, ts.gaussians.alive, vms[0], Ks[0],
+            images[0], edge_masks[0], jnp.int32(0), jnp.float32(1.0),
+            jax.random.PRNGKey(0))
+    l_t, st_t, g_t, gs_t = jax.jit(tp)(*args)
+    l_r, st_r, g_r, gs_r = jax.jit(sd)(*args)
+
+    assert np.isclose(float(l_t), float(l_r), rtol=1e-5)
+    for name in ("means", "scales", "quats", "opacities"):
+        np.testing.assert_allclose(
+            np.array(getattr(g_t, name)), np.array(getattr(g_r, name)),
+            atol=5e-6, err_msg=f"tp+seg grad {name}")
+    np.testing.assert_allclose(np.array(gs_t), np.array(gs_r), atol=1e-6)
