@@ -25,21 +25,31 @@ proportional to the budget, not to tiles x chunks:
 - per-tile transmittance is a SEGMENTED Hillis-Steele scan along the
   pair axis (axis-0 ``pltpu.roll``; segment rule: shift s applies at a
   lane iff s <= its depth slot), with the open run's transmittance
-  carried across bricks in scratch (the sequential grid makes exactly
-  one run open at a brick boundary),
+  carried across bricks (the sequential order makes exactly one run
+  open at a brick boundary),
 - per-brick tile images are a one-hot segment-sum matmul
-  ``M[row, lane] @ contrib[lane, px]`` onto the MXU; the window of
-  [WR, P] image rows is DMA'd to HBM at the brick's 8-aligned base row
-  (Mosaic requires provably 8-divisible dynamic row offsets —
-  ``pl.multiple_of``; probed in scripts/segpair_mosaic_probe.py). An
-  8-row image carry block hands partially-accumulated rows to the next
-  brick, whose window rewrites them — later writes win, so every row's
-  final value is complete,
+  ``M[row, lane] @ contrib[lane, px]`` onto the MXU,
+- each grid step processes WSTEP bricks in a ``fori_loop`` (one
+  brick/step paid ~1-2.5 us of per-step overhead against ~1 us of
+  vector work — measured in round 4), accumulating their [WR, P]
+  one-hot windows into a shared [SW, P] step buffer at 8-aligned
+  dynamic offsets, then writes ONE [SW, P] window to HBM at the step's
+  8-aligned base row (Mosaic requires provably 8-divisible dynamic
+  sublane offsets — ``pl.multiple_of``; probed in
+  scripts/segpair_mosaic_probe.py). An 8-row image carry block hands
+  partially-accumulated rows to the next step, whose window rewrites
+  them — later writes win, so every row's final value is complete
+  (rows with earlier content always sit in the window's first 8-row
+  group because contributions are monotone in frame row),
 - the backward needs NO windowed output at all: each pair's gradient
   row lives in exactly one brick, so dbricks is a plain blocked output
   (the v4 backward's overlapping window write-backs disappear). Its
-  per-lane loss cotangent/total come from the transposed one-hot
-  product against a [WR, 2P] g/total window DMA'd per brick.
+  per-lane loss cotangent/total come from one transposed one-hot
+  product against a [WR, 2P] slice of the step's g/total window,
+- the binning tables arrive SORT-FREE (tiles.bin_pairs_frame_order
+  with block_tiles=0 computes them from the fused sort's outputs with
+  [T]-sized arithmetic + one [B] row-gather — no re-key sort, no
+  second searchsorted; ~0.6 ms/render at ABC shapes).
 
 Semantics are identical to v4: single-level capacity (the pair stream is
 pre-filtered to slot < cap by binning), gsplat clamp/skip/cutoff rules,
@@ -72,9 +82,14 @@ from edgegaussians_tpu.ops.pallas_raster_v2 import _auto_interpret
 from edgegaussians_tpu.ops.pallas_pair import build_pair_features
 from edgegaussians_tpu.ops.tiles import PairBins, cdiv, step_over_pairs
 
-BRICK = 128     # pairs per brick (= lane-roll scan width)
-CARRY = 8       # image rows handed across bricks (sublane tiling unit)
-WR = BRICK + CARRY   # output window rows: 8-aligned base + max row span
+BRICK = 128     # pairs per brick (= pair-axis scan width)
+CARRY = 8       # image rows handed across steps (sublane tiling unit)
+WR = BRICK + CARRY   # per-brick one-hot rows: 8-aligned base + max span
+WSTEP = 8       # bricks per grid step — amortizes the ~1-2.5 us Mosaic
+                # per-grid-step overhead that dominated the 1-brick/step
+                # v5.0 kernels (measured: bwd 2.56 us/brick vs ~1 us of
+                # vector work)
+SW = CARRY + BRICK * WSTEP   # step image window rows (off_k + WR <= SW)
 
 
 def _seg_alpha(fc, basis, logop):
@@ -138,186 +153,201 @@ def _brick_common(x, basis, cont_fr):
     return alpha, ok, om, t_within, cont, dcol, x[8:9, :]
 
 
-def _fwd_kernel(w0s_ref, cont_ref, d8s_ref, brick_ref, basis_ref,
-                out_hbm, seg, carry8, tcar, sem, *, p):
-    b = pl.program_id(0)
+def _fwd_kernel(w0s_ref, cont_ref, ws0_ref, d8st_ref, brick_ref,
+                basis_ref, out_hbm, stepbuf, carry8, tcar, sem, *, p):
+    s = pl.program_id(0)
 
-    def seg_dma(idx):
-        off = pl.multiple_of(w0s_ref[idx], CARRY)
-        return pltpu.make_async_copy(seg, out_hbm.at[pl.ds(off, WR)], sem)
+    def out_dma(idx):
+        off = pl.multiple_of(ws0_ref[idx], CARRY)
+        return pltpu.make_async_copy(stepbuf, out_hbm.at[pl.ds(off, SW)],
+                                     sem)
 
-    @pl.when(b == 0)
+    @pl.when(s == 0)
     def _():
         carry8[:] = jnp.zeros_like(carry8)
         tcar[:] = jnp.ones_like(tcar)
 
+    # the previous step-window write must land before stepbuf is rebuilt
+    # (windows overlap; sequential completion makes later-write-wins exact)
+    @pl.when(s > 0)
+    def _():
+        out_dma(s - 1).wait()
+    stepbuf[:] = jnp.zeros_like(stepbuf)
+    # rows [ws0, ws0+8) may hold earlier steps' accumulation (rows above
+    # the step's first tile cannot — contributions are monotone in row)
+    stepbuf[0:CARRY] = carry8[:]
+
     basis = basis_ref[:]                              # [8,P]
-    alpha, _, om, t_within, cont, _, rraw = _brick_common(
-        brick_ref[0], basis, cont_ref[b])
-    t_inc = t_within * jnp.where(cont, tcar[0:1, :], 1.0)
-    keep = (t_inc >= TRANSMITTANCE_EPS).astype(jnp.float32)
-    contrib = alpha * (t_inc / om) * keep             # [BRICK,P]
+    ws0 = ws0_ref[s]
 
-    w0f = w0s_ref[b].astype(jnp.float32)
-    rrow = rraw - w0f                                 # [1,BRICK] window rows
-    segv = _seg_matmul(_onehot(rrow, 0.0, WR), contrib)
-    # the previous window write must land before seg is rebuilt (windows
-    # overlap; sequential completion is what makes later-write-wins exact)
-    @pl.when(b > 0)
+    def body(k, t_row):
+        alpha, _, om, t_within, cont, _, rraw = _brick_common(
+            brick_ref[k], basis, cont_ref[s * WSTEP + k])
+        t_inc = t_within * jnp.where(cont, t_row, 1.0)
+        keep = (t_inc >= TRANSMITTANCE_EPS).astype(jnp.float32)
+        contrib = alpha * (t_inc / om) * keep         # [BRICK,P]
+        w0b = w0s_ref[s * WSTEP + k]
+        rrow = rraw - w0b.astype(jnp.float32)         # [1,BRICK]
+        seg = _seg_matmul(_onehot(rrow, 0.0, WR), contrib)
+        off = pl.multiple_of(w0b - ws0, CARRY)
+        stepbuf[pl.ds(off, WR)] = stepbuf[pl.ds(off, WR)] + seg
+        return t_inc[BRICK - 1:BRICK, :]
+
+    tcar[0:1, :] = jax.lax.fori_loop(0, WSTEP, body, tcar[0:1, :])
+    # hand the next step ITS first-group rows [ws0', ws0'+8)
+    d8 = pl.multiple_of(d8st_ref[s], CARRY)
+    carry8[:] = stepbuf[pl.ds(d8, CARRY)]
+
+    out_dma(s).start()
+
+    @pl.when(s + 1 == pl.num_programs(0))
     def _():
-        seg_dma(b - 1).wait()
-    seg[:] = segv
-    # rows [w0, w0+8) may hold earlier bricks' accumulation (rows above
-    # the first lane's tile cannot — contributions are monotone in row)
-    seg[0:CARRY] = seg[0:CARRY] + carry8[:]
-    # hand the next brick ITS first-group rows [w0', w0'+8): this brick's
-    # contributions there, plus the current value when the group doesn't
-    # advance (d8 == 0)
-    d8 = d8s_ref[b]
-    new_c8 = _seg_matmul(_onehot(rrow, d8.astype(jnp.float32), CARRY),
-                         contrib)
-    carry8[:] = new_c8 + jnp.where(d8 == 0, carry8[:], 0.0)
-    tcar[0:1, :] = t_inc[BRICK - 1:BRICK, :]
-
-    seg_dma(b).start()
-
-    @pl.when(b + 1 == pl.num_programs(0))
-    def _():
-        seg_dma(b).wait()
+        out_dma(s).wait()
 
 
-def _bwd_kernel(w0s_ref, cont_ref, brick_ref, basis_ref, gt_hbm,
+def _bwd_kernel(w0s_ref, cont_ref, ws0_ref, brick_ref, basis_ref, gt_hbm,
                 dout_ref, gtwin, tcar, ccar, sem, *, p):
-    b = pl.program_id(0)
+    s = pl.program_id(0)
 
     def gt_dma(idx):
-        off = pl.multiple_of(w0s_ref[idx], CARRY)
-        return pltpu.make_async_copy(gt_hbm.at[pl.ds(off, WR)], gtwin, sem)
+        off = pl.multiple_of(ws0_ref[idx], CARRY)
+        return pltpu.make_async_copy(gt_hbm.at[pl.ds(off, SW)], gtwin, sem)
 
-    @pl.when(b == 0)
+    @pl.when(s == 0)
     def _():
         tcar[:] = jnp.ones_like(tcar)
         ccar[:] = jnp.zeros_like(ccar)
         gt_dma(0).start()
 
     basis = basis_ref[:]
-    alpha, ok, om, t_within, cont, dcol, rraw = _brick_common(
-        brick_ref[0], basis, cont_ref[b])
-    t_inc = t_within * jnp.where(cont, tcar[0:1, :], 1.0)
-    keep = (t_inc >= TRANSMITTANCE_EPS).astype(jnp.float32)
-    t_prev = t_inc / om
-    contrib = alpha * t_prev * keep
-    c_inc = _seg_scan(contrib, dcol, jax.lax.add, 0.0) \
-        + jnp.where(cont, ccar[0:1, :], 0.0)
+    ws0 = ws0_ref[s]
+    gt_dma(s).wait()
 
-    rrow = rraw - w0s_ref[b].astype(jnp.float32)
-    m = _onehot(rrow, 0.0, WR)                        # [WR,BRICK]
-    gt_dma(b).wait()
-    gw = gtwin[:, :p]
-    tw = gtwin[:, p:]
-    # transposed one-hot products: per-lane loss cotangent / tile total
-    g_lane = jax.lax.dot_general(
-        m, gw, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)          # [BRICK,P]
-    total_lane = jax.lax.dot_general(
-        m, tw, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
+    def body(k, carry):
+        t_row, c_row = carry
+        alpha, ok, om, t_within, cont, dcol, rraw = _brick_common(
+            brick_ref[k], basis, cont_ref[s * WSTEP + k])
+        t_inc = t_within * jnp.where(cont, t_row, 1.0)
+        keep = (t_inc >= TRANSMITTANCE_EPS).astype(jnp.float32)
+        t_prev = t_inc / om
+        contrib = alpha * t_prev * keep
+        c_inc = _seg_scan(contrib, dcol, jax.lax.add, 0.0) \
+            + jnp.where(cont, c_row, 0.0)
 
-    # prefetch the next brick's g/total window (gtwin consumed above)
-    @pl.when(b + 1 < pl.num_programs(0))
+        w0b = w0s_ref[s * WSTEP + k]
+        rrow = rraw - w0b.astype(jnp.float32)
+        m = _onehot(rrow, 0.0, WR)                    # [WR,BRICK]
+        off = pl.multiple_of(w0b - ws0, CARRY)
+        gtw = gtwin[pl.ds(off, WR)]                   # [WR,2P]
+        # ONE transposed one-hot product gathers the per-lane loss
+        # cotangent AND tile total (g/total ride the same lane split)
+        gt_lane = jax.lax.dot_general(
+            m, gtw, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)      # [BRICK,2P]
+        g_lane = gt_lane[:, :p]
+        total_lane = gt_lane[:, p:]
+
+        suffix = total_lane - c_inc
+        dalpha = (t_prev - suffix / om) * keep * g_lane
+        dla = jnp.where(ok & (alpha < ALPHA_CLAMP), alpha * dalpha, 0.0)
+        dfc = jax.lax.dot_general(
+            dla, basis, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)      # [BRICK,8]
+        dout_ref[k] = jnp.swapaxes(dfc, 0, 1)         # [8,BRICK]
+        return t_inc[BRICK - 1:BRICK, :], c_inc[BRICK - 1:BRICK, :]
+
+    t_row, c_row = jax.lax.fori_loop(0, WSTEP, body,
+                                     (tcar[0:1, :], ccar[0:1, :]))
+    tcar[0:1, :] = t_row
+    ccar[0:1, :] = c_row
+
+    # prefetch the next step's g/total window (gtwin consumed above)
+    @pl.when(s + 1 < pl.num_programs(0))
     def _():
-        gt_dma(b + 1).start()
-
-    suffix = total_lane - c_inc
-    dalpha = (t_prev - suffix / om) * keep * g_lane
-    dla = jnp.where(ok & (alpha < ALPHA_CLAMP), alpha * dalpha, 0.0)
-    dfc = jax.lax.dot_general(
-        dla, basis, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)          # [BRICK,8]
-    dout_ref[0] = jnp.swapaxes(dfc, 0, 1)             # [8,BRICK]
-
-    tcar[0:1, :] = t_inc[BRICK - 1:BRICK, :]
-    ccar[0:1, :] = c_inc[BRICK - 1:BRICK, :]
+        gt_dma(s + 1).start()
 
 
 @functools.partial(jax.jit, static_argnames=("tp", "interpret"))
-def _seg_fwd(bricks, w0s, cont_frs, d8s, basis, tp: int, interpret: bool):
+def _seg_fwd(bricks, w0s, cont_frs, ws0, d8st, basis, tp: int,
+             interpret: bool):
     nb = bricks.shape[0]
+    ns = nb // WSTEP
     p = basis.shape[1]
     return pl.pallas_call(
         functools.partial(_fwd_kernel, p=p),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
-            grid=(nb,),
+            num_scalar_prefetch=4,
+            grid=(ns,),
             in_specs=[
-                pl.BlockSpec((1, 16, BRICK), lambda b, *_: (b, 0, 0),
+                pl.BlockSpec((WSTEP, 16, BRICK), lambda s, *_: (s, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((8, p), lambda b, *_: (0, 0),
+                pl.BlockSpec((8, p), lambda s, *_: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
             scratch_shapes=[
-                pltpu.VMEM((WR, p), jnp.float32),
+                pltpu.VMEM((SW, p), jnp.float32),
                 pltpu.VMEM((CARRY, p), jnp.float32),
                 pltpu.VMEM((CARRY, p), jnp.float32),
                 pltpu.SemaphoreType.DMA,
             ],
         ),
         out_shape=vma.out_struct((tp, p), jnp.float32, bricks, w0s,
-                                 cont_frs, d8s),
+                                 cont_frs, ws0, d8st),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         cost_estimate=pl.CostEstimate(
             flops=2 * nb * BRICK * p * (8 + WR + CARRY),
-            bytes_accessed=nb * (16 * BRICK + WR * p) * 4,
+            bytes_accessed=nb * 16 * BRICK * 4 + ns * SW * p * 4,
             transcendentals=nb * BRICK * p),
         interpret=interpret,
-    )(w0s, cont_frs, d8s, bricks, basis)
+    )(w0s, cont_frs, ws0, d8st, bricks, basis)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _seg_bwd(bricks, w0s, cont_frs, basis, gt, interpret: bool):
+def _seg_bwd(bricks, w0s, cont_frs, ws0, basis, gt, interpret: bool):
     nb = bricks.shape[0]
+    ns = nb // WSTEP
     p = basis.shape[1]
     return pl.pallas_call(
         functools.partial(_bwd_kernel, p=p),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(nb,),
+            num_scalar_prefetch=3,
+            grid=(ns,),
             in_specs=[
-                pl.BlockSpec((1, 16, BRICK), lambda b, *_: (b, 0, 0),
+                pl.BlockSpec((WSTEP, 16, BRICK), lambda s, *_: (s, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((8, p), lambda b, *_: (0, 0),
+                pl.BlockSpec((8, p), lambda s, *_: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.HBM),
             ],
-            out_specs=pl.BlockSpec((1, 8, BRICK), lambda b, *_: (b, 0, 0),
+            out_specs=pl.BlockSpec((WSTEP, 8, BRICK),
+                                   lambda s, *_: (s, 0, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((WR, 2 * p), jnp.float32),
+                pltpu.VMEM((SW, 2 * p), jnp.float32),
                 pltpu.VMEM((CARRY, p), jnp.float32),
                 pltpu.VMEM((CARRY, p), jnp.float32),
                 pltpu.SemaphoreType.DMA,
             ],
         ),
         out_shape=vma.out_struct((nb, 8, BRICK), jnp.float32, bricks, w0s,
-                                 cont_frs, gt),
+                                 cont_frs, ws0, gt),
         cost_estimate=pl.CostEstimate(
             flops=2 * nb * BRICK * p * (16 + 2 * WR + 8),
-            bytes_accessed=nb * (16 * BRICK + 8 * BRICK + WR * 2 * p) * 4,
+            bytes_accessed=nb * (16 + 8) * BRICK * 4 + ns * SW * 2 * p * 4,
             transcendentals=nb * BRICK * p),
         interpret=interpret,
-    )(w0s, cont_frs, bricks, basis, gt)
+    )(w0s, cont_frs, ws0, bricks, basis, gt)
 
 
 def _prep(packed_sorted, pbins: PairBins, origins):
     """XLA-side prep: pair features + per-pair row/slot channels ->
-    [nb,16,BRICK] bricks and the per-brick scalar tables."""
+    [nb,16,BRICK] bricks and the per-brick / per-step scalar tables."""
     B = pbins.pair_ranks.shape[0]
     T = pbins.counts_f.shape[0]
-    nb = cdiv(B, BRICK)
+    nb = cdiv(B, BRICK * WSTEP) * WSTEP       # whole steps of WSTEP bricks
     Bp = nb * BRICK
     valid = pbins.pair_valid
     ranks = pbins.pair_ranks
@@ -338,7 +368,12 @@ def _prep(packed_sorted, pbins: PairBins, origins):
     pp = jnp.arange(Bp, dtype=jnp.int32)
     fr = step_over_pairs(pbins.s_f, jnp.arange(T, dtype=jnp.int32), Bp,
                          jnp.int32)
-    fr = jnp.where(valid, fr, T)       # garbage rows park past the image
+    # garbage rows park at the FIRST EMPTY frame row (occupancy order puts
+    # all zero-count rows last), keeping the row jump between consecutive
+    # bricks <= BRICK so every within-step window offset stays < SW; their
+    # zero contributions land on an empty row the caller masks anyway
+    nnz = jnp.sum((pbins.counts_f > 0).astype(jnp.int32))
+    fr = jnp.where(valid, fr, nnz)
     start = step_over_pairs(pbins.s_f, pbins.s_f[:-1], Bp, jnp.int32)
     dst = jnp.where(valid, pp - start, 0)
 
@@ -353,10 +388,11 @@ def _prep(packed_sorted, pbins: PairBins, origins):
     w0s = (fr_base // CARRY) * CARRY                  # 8-aligned bases
     cont_frs = jnp.concatenate(
         [jnp.full((1,), -1, jnp.int32), fr_rs[:-1, BRICK - 1]])
-    d8s = jnp.concatenate(
-        [w0s[1:] - w0s[:-1], jnp.zeros((1,), jnp.int32)])
-    tp = cdiv(T, CARRY) * CARRY + WR
-    return src, ox, oy, bricks, w0s, cont_frs, d8s, tp, valid
+    ws0 = w0s[::WSTEP]                                # [ns] step bases
+    d8st = jnp.concatenate(
+        [ws0[1:] - ws0[:-1], jnp.zeros((1,), jnp.int32)])
+    tp = cdiv(T, CARRY) * CARRY + SW
+    return src, ox, oy, bricks, w0s, cont_frs, ws0, d8st, tp, valid
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
@@ -375,14 +411,14 @@ def segpair_render(packed_sorted, pbins: PairBins, origins, basis, sink,
 
 def _seg_fwd_impl(packed_sorted, pbins, origins, basis, interpret):
     interpret = _auto_interpret() if interpret is None else interpret
-    (src, ox, oy, bricks, w0s, cont_frs, d8s, tp,
+    (src, ox, oy, bricks, w0s, cont_frs, ws0, d8st, tp,
      valid) = _prep(packed_sorted, pbins, origins)
     T = pbins.counts_f.shape[0]
-    raw = _seg_fwd(bricks, w0s, cont_frs, d8s, basis, tp, interpret)
+    raw = _seg_fwd(bricks, w0s, cont_frs, ws0, d8st, basis, tp, interpret)
     # rows of empty tiles are never written (uninitialized HBM): mask by
     # true run length
     img = jnp.where(pbins.counts_f[:, None] > 0, raw[:T], 0.0)
-    return img, (src, ox, oy, bricks, w0s, cont_frs, img, valid)
+    return img, (src, ox, oy, bricks, w0s, cont_frs, ws0, img, valid)
 
 
 def _sp_fwd(packed_sorted, pbins, origins, basis, sink, cap, interpret):
@@ -393,16 +429,16 @@ def _sp_fwd(packed_sorted, pbins, origins, basis, sink, cap, interpret):
 
 def _sp_bwd(cap, interpret, saved, g):
     n, pbins, basis, res = saved
-    (src, ox, oy, bricks, w0s, cont_frs, img, valid) = res
+    (src, ox, oy, bricks, w0s, cont_frs, ws0, img, valid) = res
     interpret = _auto_interpret() if interpret is None else interpret
     B = pbins.pair_ranks.shape[0]
     T = pbins.counts_f.shape[0]
-    tp = cdiv(T, CARRY) * CARRY + WR
+    tp = cdiv(T, CARRY) * CARRY + SW
     p = basis.shape[1]
 
     gt = jnp.zeros((tp, 2 * p), jnp.float32)
     gt = gt.at[:T, :p].set(g).at[:T, p:].set(img)
-    dbricks = _seg_bwd(bricks, w0s, cont_frs, basis, gt, interpret)
+    dbricks = _seg_bwd(bricks, w0s, cont_frs, ws0, basis, gt, interpret)
     dfeats = dbricks.transpose(0, 2, 1).reshape(-1, 8)   # [Bp,8]
     dfeats = jnp.where(valid[:, None], dfeats, 0.0)
 

@@ -362,12 +362,19 @@ def bin_pairs_frame_order(proj: ProjectedGaussians, width: int,
                           block_tiles: int = 0) -> PairBins:
     """Bin into frame-ordered pair runs (see :class:`PairBins`).
 
-    Two sorts: the [N*M] fused-key sort (shared with every other binning
-    path) and a cheap [budget(+pads)] re-key sort into occupancy-frame
-    order. All per-pair quantities (frame row, slot index) are built as
-    step functions over the pair index with [T]-sized delta scatters +
-    one cumsum — zero per-pair gathers. ``block_tiles`` > 0 additionally
-    inserts per-block brick-alignment pads (class docstring).
+    With ``block_tiles == 0`` (the v5 segmented kernel's tables) the
+    resorted stream is computed SORT-FREE from the fused-key sort's
+    outputs: per-tile kept counts + cumsum give the run starts, a step
+    function over the resorted index maps each position back to its
+    sort-1 position, and one [budget] row-gather decodes the ranks —
+    no re-key sort, no second searchsorted (each ~0.3-0.6 ms/render at
+    ABC shapes in the round-4 traces).
+
+    With ``block_tiles`` > 0 (the v4 block-window kernel) the original
+    two-sort path runs: a [budget+pads] re-key sort into occupancy-frame
+    order with per-block brick-alignment pads (class docstring). All
+    per-pair quantities are built as step functions over the pair index
+    with [T]-sized delta scatters + one cumsum — zero per-pair gathers.
     """
     T = tile_grid(width, height, tile_size)[2]
     n = proj.depths.shape[0]
@@ -377,6 +384,34 @@ def bin_pairs_frame_order(proj: ProjectedGaussians, width: int,
 
     # occupancy-descending frame order
     _, perm = jax.lax.sort_key_val(-counts, jnp.arange(T, dtype=jnp.int32))
+
+    if block_tiles == 0:
+        # Sort-free fast path (the v5 segmented kernel's tables): the
+        # resorted stream is fully determined by sort-1's outputs, so the
+        # re-key sort AND its searchsorted (together ~0.6 ms/render at ABC
+        # shapes — the round-4 trace's 2nd/3rd binning ops) collapse into
+        # [T]-sized arithmetic plus one [B] row-gather decode. A pair at
+        # resorted position q in frame row fr sits at sort-1 position
+        # s[perm[fr]] + (q - s_f[fr]) — a step function of q. Per-tile
+        # kept counts replicate the prefix-budget semantics exactly:
+        # position p of tile t survives iff p < budget (prefix slice),
+        # p - s_t < cap (slot filter), p - s_t < counts_t (real pair).
+        s = starts[:-1].astype(jnp.int32)
+        kept = jnp.minimum(jnp.minimum(counts, cap),
+                           jnp.clip(budget - s, 0, None))
+        kept_f = kept[perm]
+        s_f = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                               jnp.cumsum(kept_f)])
+        qq = jnp.arange(budget, dtype=jnp.int32)
+        in_pos = qq + step_over_pairs(s_f, s[perm] - s_f[:-1], budget,
+                                      jnp.int32)
+        ranks_out = _decode_ranks(sorted_keys, in_pos[None, :], n)[0]
+        pair_valid = qq < s_f[-1]
+        return PairBins(
+            pair_ranks=ranks_out, pair_valid=pair_valid,
+            s_f=s_f, counts_f=kept_f, perm=perm, order=order,
+            counts=counts, num_pairs=total, num_truncated=num_trunc)
+
     inv_perm = jnp.zeros((T,), jnp.int32).at[perm].set(
         jnp.arange(T, dtype=jnp.int32), unique_indices=True)
 

@@ -174,6 +174,56 @@ def probe_transpose():
     return go
 
 
+def probe_vmem_dyn(rmw):
+    SW, P = 264, 256
+
+    def kernel(offs_ref, x_ref, o_ref, buf):
+        b = pl.program_id(0)
+        off = pl.multiple_of(offs_ref[b], 8)
+        @pl.when(b == 0)
+        def _():
+            buf[:] = jnp.zeros_like(buf)
+        if rmw:
+            buf[pl.ds(off, 128)] = buf[pl.ds(off, 128)] + x_ref[0]
+            o_ref[0] = buf[pl.ds(off, 128)]
+        else:
+            o_ref[0] = buf[pl.ds(off, 128)] * 0.0 + x_ref[0] * 2.0
+
+    def go():
+        rng = np.random.default_rng(5)
+        x = rng.normal(size=(2, 128, P)).astype(np.float32)
+        offs = jnp.asarray([8, 104], jnp.int32)
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(2,),
+                in_specs=[pl.BlockSpec((1, 128, P), lambda b, *_: (b, 0, 0),
+                                       memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec((1, 128, P), lambda b, *_: (b, 0, 0),
+                                       memory_space=pltpu.VMEM),
+                scratch_shapes=[pltpu.VMEM((SW, P), jnp.float32)],
+            ),
+            out_shape=jax.ShapeDtypeStruct((2, 128, P), jnp.float32),
+        )(offs, jnp.asarray(x))
+        out = np.asarray(out)
+        if rmw:
+            buf = np.zeros((SW, P), np.float32)
+            refs = []
+            for b, off in enumerate([8, 104]):
+                buf[off:off + 128] += x[b]
+                refs.append(buf[off:off + 128].copy())
+            return float(max(np.max(np.abs(out[b] - refs[b]))
+                             for b in range(2)))
+        return float(np.max(np.abs(out - 2 * x)))
+    return go
+
+
+def extra():
+    run("P7a vmem-dyn-read", probe_vmem_dyn(False))
+    run("P7b vmem-dyn-rmw-add", probe_vmem_dyn(True))
+
+
 if __name__ == "__main__":
     print(f"backend: {jax.default_backend()}")
     run("P1 roll-axis0-[128,256]", probe_roll(0, (128, 256)))
@@ -182,3 +232,4 @@ if __name__ == "__main__":
     run("P4 dyn-offset-DMA-write", probe_dyn_write())
     run("P5 dyn-offset-DMA-read", probe_dyn_read())
     run("P6 transpose-256x128", probe_transpose())
+    extra()
