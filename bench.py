@@ -48,14 +48,32 @@ def practical_sol_model(n, width, height, tiles):
     derivation + table: docs/KERNELS.md §7). This is what the current
     design can actually reach on this hardware+compiler; the ratio
     measured/practical is therefore the honest remaining-headroom claim.
-    Stage set matches the round-4 pair-kernel pipeline.
+    Stage set follows the selected pair path: the v5 segmented kernel
+    (pair_kernel="seg": sort-free tables, no brick pads) or the v4
+    block-window kernel.
     """
+    import math
     ts = tiles.get("tile_size", 16)
     ntx = -(-width // ts)
     nty = -(-height // ts)
     T = ntx * nty
     M = tiles.get("max_tiles_per_gaussian", 64)
     B = tiles.get("pair_budget", 0) or T * 64
+    if tiles.get("pair_kernel") == "seg":
+        # round-4 v5 trace coefficients (scripts/segpair_profile.py);
+        # the searchsorted floor is per boundary x bisection depth
+        stages = {
+            "fused_key_sort": 1.13e-9 * n * M,
+            "run_searchsorted": 13.7e-9 * T * math.log2(max(n * M, 2)),
+            "pair_tables_decode": 3.2e-9 * B + 0.05e-3,
+            "pair_gather": 3.2e-9 * B,
+            "feats_bricks": 2.6e-9 * B,
+            "fwd_kernel": 9.2e-9 * B,
+            "bwd_kernel": 16.2e-9 * B,
+            "grad_scatter": 7e-9 * (B + n),
+            "projection": 8e-9 * n,
+        }
+        return sum(stages.values()), stages
     TB = 16
     Bp = B + 127 * (-(-T // TB))          # + per-block brick pads
     stages = {
@@ -127,17 +145,19 @@ FIXTURE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "bench_fixture", "abc_00004926.npz")
 
 # shipped ABC_DexiNed tile geometry (configs/ABC_DexiNed.json) plus the
-# production fast path: the round-4 pair-domain DMA compositor
-# (ops/pallas_pair.py — no dense-frame scatter; budget 49152 = 1.5x the
-# fixture's measured 32788 pairs; parity-tested vs the dense path at
-# fixture shapes to f32 noise). Measured on v5e: 68.2 (dense frame)
-# -> 85.2 (pair prefix) -> 95.7 (pair+occupancy, round 2/3) -> 131-140
-# Mpx/s (pair kernel, round 4; dense path measured 75-93 the same
-# session). --pair_kernel 0 selects the two-level dense-frame path.
+# production fast path: the round-4 v5 SEGMENTED pair compositor
+# (ops/pallas_segpair.py — pair-dense bricks, sort-free tables; budget
+# 49152 = 1.5x the fixture's measured 32788 pairs; parity-tested vs the
+# dense path and the v4 block kernel to f32 noise). Measured on v5e:
+# 68.2 (dense frame) -> 85.2 (pair prefix) -> 95.7 (pair+occupancy,
+# round 2/3) -> 131-143 Mpx/s (v4 pair kernel) -> 168-173 Mpx/s (v5
+# seg kernel, round 4; dense path measured 75-93 the same sessions).
+# --pair_kernel 0 selects the two-level dense-frame path, 1 the v4
+# block-window kernel.
 ABC_TILES = dict(tile_size=16, capacity=768, dense_capacity=128,
                  overflow_tiles=128, max_tiles_per_gaussian=16,
                  pair_budget=49152, occupancy_sort=True,
-                 pair_kernel=True)
+                 pair_kernel="seg")
 SYN_TILES = dict(tile_size=16, capacity=512, dense_capacity=128)
 
 

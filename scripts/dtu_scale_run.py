@@ -73,8 +73,9 @@ def main():
                          "many devices (parallel/train_tp.py)")
     ap.add_argument("--pair_budget", type=int, default=-1,
                     help="override tile_pair_budget (-1 = shipped value)")
-    ap.add_argument("--pair_kernel", type=int, default=-1,
-                    help="override tile_pair_kernel (0/1; -1 = shipped)")
+    ap.add_argument("--pair_kernel", type=str, default="-1",
+                    help="override tile_pair_kernel (0/1/seg; "
+                         "-1 = shipped)")
     ap.add_argument("--train_seed", type=int, default=-1,
                     help="override training.seed (trajectory spread runs; "
                          "-1 = shipped value)")
@@ -105,8 +106,10 @@ def main():
     cfg["output"]["output_dir"] = f"output_synth/{name}_synth/"
     if args.pair_budget >= 0:
         cfg["model"]["tile_pair_budget"] = args.pair_budget
-    if args.pair_kernel >= 0:
-        cfg["model"]["tile_pair_kernel"] = bool(args.pair_kernel)
+    if args.pair_kernel != "-1":
+        cfg["model"]["tile_pair_kernel"] = {
+            "0": False, "1": True}.get(args.pair_kernel,
+                                       args.pair_kernel)
     if args.log_interval:
         cfg["training"]["log_interval"] = args.log_interval
     if args.train_seed >= 0:
