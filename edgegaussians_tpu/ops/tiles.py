@@ -463,8 +463,7 @@ def bin_pairs_frame_order(proj: ProjectedGaussians, width: int,
 
     rk = jax.lax.sort(new_key)
 
-    boundaries = (jnp.arange(T + 1, dtype=jnp.int32) << RANK_BITS)
-    s_f = jnp.searchsorted(rk, boundaries).astype(jnp.int32)
+    s_f = _tile_run_starts(rk, T)      # frame-row prefixes, same key form
     # ACTUAL composited run lengths (exact even when pairs past the
     # budget were dropped): searchsorted diffs minus the block pads —
     # this is what masks garbage rows in the kernel walk
@@ -478,6 +477,49 @@ def bin_pairs_frame_order(proj: ProjectedGaussians, width: int,
         pair_ranks=ranks_out, pair_valid=pair_valid,
         s_f=s_f, counts_f=counts_f, perm=perm, order=order,
         counts=counts, num_pairs=total, num_truncated=num_trunc)
+
+
+def _tile_run_starts(sorted_keys: jnp.ndarray, num_tiles: int
+                     ) -> jnp.ndarray:
+    """[T+1] run starts of tile-prefix boundaries in a fused-key sort.
+
+    Replaces ``jnp.searchsorted(sorted_keys, boundaries)`` — XLA lowers
+    that as a log2(len)-deep bisection while whose per-iteration [T+1]
+    scalar gathers were the single most expensive binning op in the
+    round-4 traces (0.62 ms at ABC shapes, ~2 ms at DTU). Because our
+    boundaries are exactly the dense tile prefixes ``t << RANK_BITS``,
+    the search collapses to exact arithmetic:
+
+    1. downsample every ``stride``-th key; a [T]-histogram + cumsum of
+       their tile ids gives, per boundary, how many downsampled keys
+       precede it — which brackets its position to one stride-sized,
+       row-aligned window,
+    2. one [T+1, stride/8] 8-wide ROW gather fetches each boundary's
+       window; counting window keys < boundary finishes the search.
+
+    No bisection iterations, no scalar gathers; exact for any key
+    distribution (sentinels included — they sort to the tail and only
+    ever land in the histogram's overflow bucket).
+    """
+    stride = 128
+    nk = sorted_keys.shape[0]
+    pad = (-nk) % stride
+    keys_p = jnp.pad(sorted_keys, (0, pad),
+                     constant_values=2 ** 31 - 1) if pad else sorted_keys
+    ds = keys_p[::stride]
+    tds = jnp.clip(ds >> RANK_BITS, 0, num_tiles)
+    hist = jnp.zeros((num_tiles + 1,), jnp.int32).at[tds].add(
+        1, mode="drop")
+    h = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                         jnp.cumsum(hist)])[:num_tiles + 1]
+    w0 = jnp.maximum(h - 1, 0) * stride
+    rows = (w0 // 8)[:, None] + jnp.arange(stride // 8,
+                                           dtype=jnp.int32)[None, :]
+    window = keys_p.reshape(-1, 8)[rows]             # [T+1, 16, 8]
+    b = (jnp.arange(num_tiles + 1, dtype=jnp.int32) << RANK_BITS)
+    lt = jnp.sum((window < b[:, None, None]).astype(jnp.int32),
+                 axis=(1, 2))
+    return w0 + lt
 
 
 def _sort_pairs(proj: ProjectedGaussians, width: int, height: int,
@@ -530,10 +572,10 @@ def _sort_pairs(proj: ProjectedGaussians, width: int, height: int,
         sorted_keys = jnp.pad(sorted_keys, (0, pad8),
                               constant_values=2 ** 31 - 1)
 
-    # per-tile run boundaries
-    boundaries = (jnp.arange(num_tiles + 1, dtype=jnp.int32)
-                  << RANK_BITS)
-    starts = jnp.searchsorted(sorted_keys, boundaries)            # [T+1]
+    # per-tile run boundaries (histogram-bracketed exact search — see
+    # _tile_run_starts; the searchsorted bisection it replaces was the
+    # top binning op of the round-4 traces)
+    starts = _tile_run_starts(sorted_keys, num_tiles)             # [T+1]
     counts = (starts[1:] - starts[:-1]).astype(jnp.int32)
     num_trunc = jnp.sum((valid & (span_x * span_y > m)).astype(jnp.int32))
     return (sorted_keys, starts, counts, order.astype(jnp.int32),
