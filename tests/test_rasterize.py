@@ -342,3 +342,31 @@ def test_occupancy_sort_parity():
             np.testing.assert_array_equal(i0, i1)
             np.testing.assert_allclose(g0, g1, atol=2e-9)
             np.testing.assert_allclose(s0, s1, atol=1e-10)
+
+
+def test_tile_run_starts_matches_searchsorted():
+    """The histogram-bracketed run-start search (tiles._tile_run_starts)
+    must equal jnp.searchsorted on the tile-prefix boundaries for any
+    sorted key distribution — empty tiles, runs >128, sentinel tails,
+    lengths off the 128 stride."""
+    import numpy as np
+    from edgegaussians_tpu.ops import tiles as tiles_mod
+
+    rng = np.random.default_rng(0)
+    for T, nk in [(13, 40), (64, 1000), (257, 8192), (100, 130)]:
+        tiles_ids = np.sort(rng.integers(0, T, size=nk))
+        # heavy tail: pile half the keys on one tile; sprinkle sentinels
+        tiles_ids[nk // 2:3 * nk // 4] = tiles_ids[nk // 2]
+        ranks = rng.integers(0, 1 << 10, size=nk)
+        keys = np.sort((tiles_ids.astype(np.int64) << tiles_mod.RANK_BITS)
+                       | ranks).astype(np.int32)
+        keys[-max(nk // 10, 1):] = 2 ** 31 - 1          # sentinel tail
+        keys = np.sort(keys)
+        pad8 = (-len(keys)) % 8
+        keys = np.pad(keys, (0, pad8), constant_values=2 ** 31 - 1)
+        boundaries = (np.arange(T + 1, dtype=np.int32)
+                      << tiles_mod.RANK_BITS)
+        want = np.searchsorted(keys, boundaries)
+        got = np.asarray(tiles_mod._tile_run_starts(
+            jnp.asarray(keys), T))
+        np.testing.assert_array_equal(got, want, err_msg=f"T={T} nk={nk}")
