@@ -131,14 +131,15 @@ class ModelConfig:
     # configs are whole-run audited (scripts/pair_budget_audit.py), so
     # this triggers only on scenes denser than the audited set.
     tile_pair_overflow_action: str = "fallback"
-    # Pair-domain DMA compositor (ops/pallas_pair.py): composite straight
-    # from the sorted-pair runs via per-block brick-window DMAs instead of
-    # scattering a dense frame — measured 1.5x the dense-path px/s on the
-    # ABC fixture (round 4). Needs tile_pair_budget > 0. Single-level
-    # per-tile capacity semantics: every tile composites
-    # min(count, tile_gaussian_capacity) pairs (strictly MORE complete
-    # than the two-level k1/t2/k2 truncation).
-    tile_pair_kernel: bool = False
+    # Pair-domain DMA compositor selection. False = dense-frame two-level
+    # path; True (or "block") = v4 block-window kernel (ops/pallas_pair.py,
+    # measured 1.5x the dense path); "seg" = v5 segmented pair-dense kernel
+    # (ops/pallas_segpair.py — what every shipped config runs). Needs
+    # tile_pair_budget > 0. Single-level per-tile capacity semantics:
+    # every tile composites min(count, tile_gaussian_capacity) pairs
+    # (strictly MORE complete than the two-level k1/t2/k2 truncation).
+    # Values are normalized/validated at config load (__post_init__).
+    tile_pair_kernel: bool | str = False
     # Order compositor frame rows by descending tile occupancy: the kernels
     # predicate per TILE_BLOCK on the block max, so homogeneous blocks cut
     # predicated slot work ~2x on sparse edge scenes. Bitwise-identical
@@ -148,6 +149,23 @@ class ModelConfig:
     tile_size: int = 16
     # 'pallas' on TPU, 'jax' pure-XLA fallback, 'reference' per-pixel oracle.
     rasterizer_backend: str = "auto"
+
+    def __post_init__(self):
+        pk = self.tile_pair_kernel
+        if isinstance(pk, str):
+            norm = {"0": False, "false": False, "off": False,
+                    "1": True, "true": True, "block": True,
+                    "2": "seg", "seg": "seg"}
+            if pk.lower() not in norm:
+                raise ValueError(
+                    f"tile_pair_kernel: unknown value {pk!r} "
+                    "(expected false/true/'block'/'seg')")
+            self.tile_pair_kernel = norm[pk.lower()]
+        elif isinstance(pk, int) and not isinstance(pk, bool):
+            if pk not in (0, 1, 2):
+                raise ValueError(
+                    f"tile_pair_kernel: unknown value {pk!r}")
+            self.tile_pair_kernel = (False, True, "seg")[pk]
 
 
 @dataclass

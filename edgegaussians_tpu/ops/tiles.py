@@ -382,9 +382,6 @@ def bin_pairs_frame_order(proj: ProjectedGaussians, width: int,
         proj, width, height, tile_size, max_tiles_per_gaussian)
     total = starts[-1].astype(jnp.int32)
 
-    # occupancy-descending frame order
-    _, perm = jax.lax.sort_key_val(-counts, jnp.arange(T, dtype=jnp.int32))
-
     if block_tiles == 0:
         # Sort-free fast path (the v5 segmented kernel's tables): the
         # resorted stream is fully determined by sort-1's outputs, so the
@@ -399,6 +396,16 @@ def bin_pairs_frame_order(proj: ProjectedGaussians, width: int,
         s = starts[:-1].astype(jnp.int32)
         kept = jnp.minimum(jnp.minimum(counts, cap),
                            jnp.clip(budget - s, 0, None))
+        # Frame rows ordered by descending KEPT run length — NOT raw
+        # occupancy: under budget overflow a high-count tile whose sort-1
+        # run starts at s >= budget keeps zero pairs, and a raw-count
+        # ordering would leave that zero-kept row mid-stream. The seg
+        # kernel requires all zero-length runs LAST (garbage pairs park at
+        # the first empty frame row and consecutive-brick row jumps must
+        # stay <= BRICK — pallas_segpair._prep); violating it scrambled
+        # the step-window offsets and NaN'd the render (ADVICE r4 high).
+        _, perm = jax.lax.sort_key_val(-kept,
+                                       jnp.arange(T, dtype=jnp.int32))
         kept_f = kept[perm]
         s_f = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                                jnp.cumsum(kept_f)])
@@ -412,6 +419,8 @@ def bin_pairs_frame_order(proj: ProjectedGaussians, width: int,
             s_f=s_f, counts_f=kept_f, perm=perm, order=order,
             counts=counts, num_pairs=total, num_truncated=num_trunc)
 
+    # v4 block-window path: occupancy-descending frame order
+    _, perm = jax.lax.sort_key_val(-counts, jnp.arange(T, dtype=jnp.int32))
     inv_perm = jnp.zeros((T,), jnp.int32).at[perm].set(
         jnp.arange(T, dtype=jnp.int32), unique_indices=True)
 

@@ -141,6 +141,90 @@ def test_segpair_matches_v4_pair_kernel():
                                    atol=3e-4, rtol=2e-3)
 
 
+def _overflow_scene(width=64, height=64, sparse_per_tile=10, pile=120,
+                    seed=11):
+    """15 low-id tiles with ``sparse_per_tile`` Gaussians each plus a
+    high-occupancy pile on the LARGEST tile id (bottom-right): its sort-1
+    run starts last, so a small pair budget zeroes its kept count while
+    its raw occupancy is the maximum — the exact overflow shape that broke
+    the raw-count frame ordering (ADVICE r4 high)."""
+    r = np.random.default_rng(seed)
+    pts = []
+    for ty in range(4):
+        for tx in range(4):
+            if (ty, tx) == (3, 3):
+                continue
+            pts.append(np.stack([
+                tx * 16 + r.uniform(4, 12, sparse_per_tile),
+                ty * 16 + r.uniform(4, 12, sparse_per_tile)], axis=1))
+    pts.append(np.stack([r.uniform(52, 60, pile),
+                         r.uniform(52, 60, pile)], axis=1))
+    px = np.concatenate(pts).astype(np.float32)
+    n = px.shape[0]
+    f, z = 64.0, 2.0
+    means = np.concatenate(
+        [(px - 32.0) * (z / f), np.full((n, 1), z, np.float32)],
+        axis=1).astype(np.float32)
+    quats = np.tile(np.asarray([1.0, 0, 0, 0], np.float32), (n, 1))
+    scales = np.full((n, 3), 0.015, np.float32)
+    opac = np.full((n,), 0.5, np.float32)
+    K = np.array([[f, 0, 32], [0, f, 32], [0, 0, 1]], np.float32)
+    vm = np.eye(4, dtype=np.float32)
+    return tuple(jnp.asarray(a) for a in
+                 (means, quats, scales, opac, vm, K)) + (width, height)
+
+
+def test_segpair_budget_overflow_matches_v4():
+    # budget < num_pairs (pairs past it are dropped, trainer-audited):
+    # seg must stay FINITE and reproduce the v4 pair kernel, which shares
+    # the sort-1 prefix truncation semantics. Regression for the NaN the
+    # raw-count frame ordering produced on mid-stream zero-kept rows.
+    *args, width, height = _overflow_scene()
+    means, quats, scales, opac, vm, K = args
+    sink0 = jnp.zeros((means.shape[0], 2), jnp.float32)
+    budget = 64
+    common = dict(capacity=256, dense_capacity=32, overflow_tiles=8,
+                  pair_budget=budget, backend="jax")
+    v4 = _loss_fn(vm, K, width, height, dict(common, pair_kernel=True))
+    v5 = _loss_fn(vm, K, width, height, dict(common, pair_kernel="seg"))
+    (l1, out1), g1 = jax.value_and_grad(v4, argnums=(0, 1, 2, 3, 4),
+                                        has_aux=True)(
+        means, quats, scales, opac, sink0)
+    (l2, out2), g2 = jax.value_and_grad(v5, argnums=(0, 1, 2, 3, 4),
+                                        has_aux=True)(
+        means, quats, scales, opac, sink0)
+    assert int(out2.num_pairs) > budget, "scene must overflow the budget"
+    assert np.isfinite(np.asarray(out2.image)).all()
+    np.testing.assert_allclose(np.asarray(out2.image),
+                               np.asarray(out1.image), atol=2e-5)
+    np.testing.assert_allclose(float(l2), float(l1), rtol=1e-5)
+    for a, b in zip(g1, g2):
+        assert np.isfinite(np.asarray(b)).all()
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=3e-4, rtol=2e-3)
+
+
+def test_seg_tables_zero_kept_rows_are_last():
+    # table-level invariant the kernel depends on: counts_f (kept run
+    # lengths in frame order) must be nonincreasing-to-zero — no zero-kept
+    # row may precede a nonzero one, for ANY budget
+    from edgegaussians_tpu.ops.projection import project_gaussians
+    from edgegaussians_tpu.ops.tiles import bin_pairs_frame_order
+    *args, width, height = _overflow_scene(seed=3)
+    means, quats, scales, opac, vm, K = args
+    proj = project_gaussians(means, quats, scales, opac, vm, K,
+                             width, height)
+    for budget in (16, 64, 256, 4096):
+        pbins = bin_pairs_frame_order(proj, width, height, 16, 256,
+                                      budget, block_tiles=0)
+        cf = np.asarray(pbins.counts_f)
+        nz = cf > 0
+        first_zero = int(np.argmin(nz)) if not nz.all() else len(cf)
+        assert not nz[first_zero:].any(), \
+            (budget, cf.tolist())
+        assert int(nz.sum()) == int((cf > 0).sum())
+
+
 def test_segpair_empty_scene():
     n, width, height = 32, 64, 48
     means = jnp.full((n, 3), 100.0)          # far outside every frustum
