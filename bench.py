@@ -52,7 +52,6 @@ def practical_sol_model(n, width, height, tiles):
     (pair_kernel="seg": sort-free tables, no brick pads) or the v4
     block-window kernel.
     """
-    import math
     ts = tiles.get("tile_size", 16)
     ntx = -(-width // ts)
     nty = -(-height // ts)
@@ -60,11 +59,17 @@ def practical_sol_model(n, width, height, tiles):
     M = tiles.get("max_tiles_per_gaussian", 64)
     B = tiles.get("pair_budget", 0) or T * 64
     if tiles.get("pair_kernel") == "seg":
-        # round-4 v5 trace coefficients (scripts/segpair_profile.py);
-        # the searchsorted floor is per boundary x bisection depth
+        # round-4 v5 trace coefficients (scripts/segpair_profile.py).
+        # Run starts use the histogram-bracketed exact search
+        # (tiles._tile_run_starts, round 4): its floor is the
+        # [T+1, stride/8] window ROW gather at the measured 3.2 ns/row
+        # 8-wide-row-gather coefficient ([T]-sized histogram/cumsum
+        # arithmetic is negligible). The 13.7 ns x T x log2(N*M)
+        # searchsorted bisection this replaced is GONE from the
+        # pipeline and is no longer charged.
         stages = {
             "fused_key_sort": 1.13e-9 * n * M,
-            "run_searchsorted": 13.7e-9 * T * math.log2(max(n * M, 2)),
+            "run_starts_hist": 3.2e-9 * 16 * (T + 1),
             "pair_tables_decode": 3.2e-9 * B + 0.05e-3,
             "pair_gather": 3.2e-9 * B,
             "feats_bricks": 2.6e-9 * B,

@@ -426,3 +426,13 @@ def test_bench_sol_model():
     prac2, _ = bench.practical_sol_model(
         12740, 800, 800, dict(tiles, pair_budget=2 * 49152))
     assert prac2 > prac_s
+
+    # seg stage set must reflect the SHIPPED pipeline: the searchsorted
+    # bisection was replaced by the histogram-bracketed run starts in
+    # round 4, so the floor model must not charge the phantom stage
+    # (VERDICT r4 weak #1)
+    prac_seg, seg_stages = bench.practical_sol_model(
+        12740, 800, 800, dict(tiles, pair_kernel="seg"))
+    assert "run_searchsorted" not in seg_stages
+    assert 0 < seg_stages["run_starts_hist"] < 0.5e-3
+    assert sol_s < prac_seg < prac_s    # no pads, cheaper tables
