@@ -43,9 +43,18 @@ proportional to the budget, not to tiles x chunks:
   group because contributions are monotone in frame row),
 - the backward needs NO windowed output at all: each pair's gradient
   row lives in exactly one brick, so dbricks is a plain blocked output
-  (the v4 backward's overlapping window write-backs disappear). Its
-  per-lane loss cotangent/total come from one transposed one-hot
-  product against a [WR, 2P] slice of the step's g/total window,
+  (the v4 backward's overlapping window write-backs disappear),
+- the backward's suffix term is ALGEBRAIC, not scanned (round 5): with
+  all-ones colors, contributions telescope within a run
+  (contrib_l = t_prev_l - t_inc_l, and the keep cutoff is a prefix
+  property since t is monotone), so the inclusive contribution prefix
+  is exactly 1 - t_inc and
+      dL/dalpha_l = (t_prev_l - suffix_l/om_l) g = g (1 - total) / om_l
+  for every kept lane. The bwd therefore runs ONE segmented scan (the
+  transmittance, needed only for the keep mask), no division, and its
+  per-lane cotangent comes from one transposed one-hot product against
+  a [WR, P] slice of a PRE-FOLDED g*(1-total) window — half the v5.1
+  [WR, 2P] product and half the window DMA,
 - the binning tables arrive SORT-FREE (tiles.bin_pairs_frame_order
   with block_tiles=0 computes them from the fused sort's outputs with
   [T]-sized arithmetic + one [B] row-gather — no re-key sort, no
@@ -128,12 +137,39 @@ def _onehot(rrow, base, rows):
     return (ri.astype(jnp.float32) + base == rrow).astype(jnp.float32)
 
 
+def _onehot_2pass():
+    """One-hot matmul strategy. The 0/1 operand is EXACT in bf16, so a
+    manual hi/lo split of the value operand gives a TWO-pass native-bf16
+    MXU product with only the split's 2^-17 rounding (~7.5e-6 max rel
+    err, matching Precision.HIGH in the probe —
+    scripts/precision_probe.py; Mosaic cannot lower HIGH itself).
+    EG_SEG_ONEHOT_PREC=highest restores the full-precision single dot
+    for A/B."""
+    import os
+    return os.environ.get("EG_SEG_ONEHOT_PREC", "2pass") == "2pass"
+
+
+def _onehot_dot(m, v, dims):
+    """Exact-one-hot contraction ``dot_general(m, v, dims)`` where ``m``
+    is 0/1: two bf16 passes (hi + lo) accumulating in f32, or one
+    HIGHEST dot (env-gated, see :func:`_onehot_2pass`)."""
+    if not _onehot_2pass():
+        return jax.lax.dot_general(
+            m, v, (dims, ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+    mb = m.astype(jnp.bfloat16)
+    vh = v.astype(jnp.bfloat16)
+    vl = (v - vh.astype(jnp.float32)).astype(jnp.bfloat16)
+    kw = dict(dimension_numbers=(dims, ((), ())),
+              preferred_element_type=jnp.float32)
+    return (jax.lax.dot_general(mb, vh, **kw)
+            + jax.lax.dot_general(mb, vl, **kw))
+
+
 def _seg_matmul(m, v):
     """One-hot segment contraction on the MXU ([A,BRICK] x [B?,..])."""
-    return jax.lax.dot_general(
-        m, v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
+    return _onehot_dot(m, v, ((1,), (0,)))
 
 
 def _brick_common(x, basis, cont_fr):
@@ -206,7 +242,7 @@ def _fwd_kernel(w0s_ref, cont_ref, ws0_ref, d8st_ref, brick_ref,
 
 
 def _bwd_kernel(w0s_ref, cont_ref, ws0_ref, brick_ref, basis_ref, gt_hbm,
-                dout_ref, gtwin, tcar, ccar, sem, *, p):
+                dout_ref, gtwin, tcar, sem, *, p):
     s = pl.program_id(0)
 
     def gt_dma(idx):
@@ -216,54 +252,41 @@ def _bwd_kernel(w0s_ref, cont_ref, ws0_ref, brick_ref, basis_ref, gt_hbm,
     @pl.when(s == 0)
     def _():
         tcar[:] = jnp.ones_like(tcar)
-        ccar[:] = jnp.zeros_like(ccar)
         gt_dma(0).start()
 
     basis = basis_ref[:]
     ws0 = ws0_ref[s]
     gt_dma(s).wait()
 
-    def body(k, carry):
-        t_row, c_row = carry
+    def body(k, t_row):
         alpha, ok, om, t_within, cont, dcol, rraw = _brick_common(
             brick_ref[k], basis, cont_ref[s * WSTEP + k])
         t_inc = t_within * jnp.where(cont, t_row, 1.0)
         keep = (t_inc >= TRANSMITTANCE_EPS).astype(jnp.float32)
-        t_prev = t_inc / om
-        contrib = alpha * t_prev * keep
-        c_inc = _seg_scan(contrib, dcol, jax.lax.add, 0.0) \
-            + jnp.where(cont, c_row, 0.0)
 
         w0b = w0s_ref[s * WSTEP + k]
         rrow = rraw - w0b.astype(jnp.float32)
         m = _onehot(rrow, 0.0, WR)                    # [WR,BRICK]
         off = pl.multiple_of(w0b - ws0, CARRY)
-        gtw = gtwin[pl.ds(off, WR)]                   # [WR,2P]
-        # ONE transposed one-hot product gathers the per-lane loss
-        # cotangent AND tile total (g/total ride the same lane split)
-        gt_lane = jax.lax.dot_general(
-            m, gtw, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)      # [BRICK,2P]
-        g_lane = gt_lane[:, :p]
-        total_lane = gt_lane[:, p:]
+        gtw = gtwin[pl.ds(off, WR)]                   # [WR,P]
+        # ONE transposed one-hot product gathers the per-lane PRE-FOLDED
+        # cotangent g*(1-total); the suffix term is algebraic (module
+        # docstring): dalpha_l = g (1 - total) / om_l for kept lanes —
+        # no contribution scan, no division by om for t_prev
+        gt2_lane = _onehot_dot(m, gtw, ((0,), (0,)))  # [BRICK,P]
 
-        suffix = total_lane - c_inc
-        dalpha = (t_prev - suffix / om) * keep * g_lane
+        dalpha = gt2_lane / om * keep
         dla = jnp.where(ok & (alpha < ALPHA_CLAMP), alpha * dalpha, 0.0)
         dfc = jax.lax.dot_general(
             dla, basis, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)      # [BRICK,8]
         dout_ref[k] = jnp.swapaxes(dfc, 0, 1)         # [8,BRICK]
-        return t_inc[BRICK - 1:BRICK, :], c_inc[BRICK - 1:BRICK, :]
+        return t_inc[BRICK - 1:BRICK, :]
 
-    t_row, c_row = jax.lax.fori_loop(0, WSTEP, body,
-                                     (tcar[0:1, :], ccar[0:1, :]))
-    tcar[0:1, :] = t_row
-    ccar[0:1, :] = c_row
+    tcar[0:1, :] = jax.lax.fori_loop(0, WSTEP, body, tcar[0:1, :])
 
-    # prefetch the next step's g/total window (gtwin consumed above)
+    # prefetch the next step's cotangent window (gtwin consumed above)
     @pl.when(s + 1 < pl.num_programs(0))
     def _():
         gt_dma(s + 1).start()
@@ -326,8 +349,7 @@ def _seg_bwd(bricks, w0s, cont_frs, ws0, basis, gt, interpret: bool):
                                    lambda s, *_: (s, 0, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((SW, 2 * p), jnp.float32),
-                pltpu.VMEM((CARRY, p), jnp.float32),
+                pltpu.VMEM((SW, p), jnp.float32),
                 pltpu.VMEM((CARRY, p), jnp.float32),
                 pltpu.SemaphoreType.DMA,
             ],
@@ -335,8 +357,8 @@ def _seg_bwd(bricks, w0s, cont_frs, ws0, basis, gt, interpret: bool):
         out_shape=vma.out_struct((nb, 8, BRICK), jnp.float32, bricks, w0s,
                                  cont_frs, ws0, gt),
         cost_estimate=pl.CostEstimate(
-            flops=2 * nb * BRICK * p * (16 + 2 * WR + 8),
-            bytes_accessed=nb * (16 + 8) * BRICK * 4 + ns * SW * 2 * p * 4,
+            flops=2 * nb * BRICK * p * (16 + WR + 8),
+            bytes_accessed=nb * (16 + 8) * BRICK * 4 + ns * SW * p * 4,
             transcendentals=nb * BRICK * p),
         interpret=interpret,
     )(w0s, cont_frs, ws0, bricks, basis, gt)
@@ -436,8 +458,13 @@ def _sp_bwd(cap, interpret, saved, g):
     tp = cdiv(T, CARRY) * CARRY + SW
     p = basis.shape[1]
 
-    gt = jnp.zeros((tp, 2 * p), jnp.float32)
-    gt = gt.at[:T, :p].set(g).at[:T, p:].set(img)
+    # pre-fold the suffix algebra on the XLA side: per-row cotangent
+    # g*(1-total) is all the kernel needs (dalpha = g(1-total)/om for
+    # kept lanes) — one [T,P] elementwise op here halves the kernel's
+    # window DMA and its one-hot gather product vs shipping g and total
+    # as separate planes
+    gt = jnp.zeros((tp, p), jnp.float32)
+    gt = gt.at[:T].set(g * (1.0 - img))
     dbricks = _seg_bwd(bricks, w0s, cont_frs, ws0, basis, gt, interpret)
     dfeats = dbricks.transpose(0, 2, 1).reshape(-1, 8)   # [Bp,8]
     dfeats = jnp.where(valid[:, None], dfeats, 0.0)
