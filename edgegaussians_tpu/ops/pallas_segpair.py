@@ -91,10 +91,15 @@ from edgegaussians_tpu.ops.pallas_raster_v2 import _auto_interpret
 from edgegaussians_tpu.ops.pallas_pair import build_pair_features
 from edgegaussians_tpu.ops.tiles import PairBins, cdiv, step_over_pairs
 
-BRICK = 128     # pairs per brick (= pair-axis scan width)
+import os as _os
+
+BRICK = int(_os.environ.get("EG_SEG_BRICK", "128"))
+                # pairs per brick (= pair-axis scan width); env-overridable
+                # for geometry sweeps
 CARRY = 8       # image rows handed across steps (sublane tiling unit)
 WR = BRICK + CARRY   # per-brick one-hot rows: 8-aligned base + max span
-WSTEP = 8       # bricks per grid step — amortizes the ~1-2.5 us Mosaic
+WSTEP = int(_os.environ.get("EG_SEG_WSTEP", "8"))
+                # bricks per grid step — amortizes the ~1-2.5 us Mosaic
                 # per-grid-step overhead that dominated the 1-brick/step
                 # v5.0 kernels (measured: bwd 2.56 us/brick vs ~1 us of
                 # vector work)
@@ -189,7 +194,7 @@ def _brick_common(x, basis, cont_fr):
     return alpha, ok, om, t_within, cont, dcol, x[8:9, :]
 
 
-def _fwd_kernel(w0s_ref, cont_ref, ws0_ref, d8st_ref, brick_ref,
+def _fwd_kernel(nlive_ref, w0s_ref, cont_ref, ws0_ref, d8st_ref, brick_ref,
                 basis_ref, out_hbm, stepbuf, carry8, tcar, sem, *, p):
     s = pl.program_id(0)
 
@@ -229,7 +234,14 @@ def _fwd_kernel(w0s_ref, cont_ref, ws0_ref, d8st_ref, brick_ref,
         stepbuf[pl.ds(off, WR)] = stepbuf[pl.ds(off, WR)] + seg
         return t_inc[BRICK - 1:BRICK, :]
 
-    tcar[0:1, :] = jax.lax.fori_loop(0, WSTEP, body, tcar[0:1, :])
+    # budget tail: steps wholly past the last REAL pair (the budget's
+    # density-growth headroom, ~1/3 of the stream at shipped configs)
+    # skip the compute body — kernel cost is proportional to real
+    # pairs, not the static budget. Their windows still flush (zeros +
+    # the carried rows, which later windows would rewrite anyway).
+    @pl.when(s < nlive_ref[0])
+    def _():
+        tcar[0:1, :] = jax.lax.fori_loop(0, WSTEP, body, tcar[0:1, :])
     # hand the next step ITS first-group rows [ws0', ws0'+8)
     d8 = pl.multiple_of(d8st_ref[s], CARRY)
     carry8[:] = stepbuf[pl.ds(d8, CARRY)]
@@ -241,8 +253,8 @@ def _fwd_kernel(w0s_ref, cont_ref, ws0_ref, d8st_ref, brick_ref,
         out_dma(s).wait()
 
 
-def _bwd_kernel(w0s_ref, cont_ref, ws0_ref, brick_ref, basis_ref, gt_hbm,
-                dout_ref, gtwin, tcar, sem, *, p):
+def _bwd_kernel(nlive_ref, w0s_ref, cont_ref, ws0_ref, brick_ref,
+                basis_ref, gt_hbm, dout_ref, gtwin, tcar, sem, *, p):
     s = pl.program_id(0)
 
     def gt_dma(idx):
@@ -284,7 +296,12 @@ def _bwd_kernel(w0s_ref, cont_ref, ws0_ref, brick_ref, basis_ref, gt_hbm,
         dout_ref[k] = jnp.swapaxes(dfc, 0, 1)         # [8,BRICK]
         return t_inc[BRICK - 1:BRICK, :]
 
-    tcar[0:1, :] = jax.lax.fori_loop(0, WSTEP, body, tcar[0:1, :])
+    # budget-tail steps skip compute (see _fwd_kernel); their dbricks
+    # blocks stay unwritten — every pair there is invalid and the
+    # caller masks dfeats rows by pair validity (_sp_bwd)
+    @pl.when(s < nlive_ref[0])
+    def _():
+        tcar[0:1, :] = jax.lax.fori_loop(0, WSTEP, body, tcar[0:1, :])
 
     # prefetch the next step's cotangent window (gtwin consumed above)
     @pl.when(s + 1 < pl.num_programs(0))
@@ -293,7 +310,7 @@ def _bwd_kernel(w0s_ref, cont_ref, ws0_ref, brick_ref, basis_ref, gt_hbm,
 
 
 @functools.partial(jax.jit, static_argnames=("tp", "interpret"))
-def _seg_fwd(bricks, w0s, cont_frs, ws0, d8st, basis, tp: int,
+def _seg_fwd(bricks, nlive, w0s, cont_frs, ws0, d8st, basis, tp: int,
              interpret: bool):
     nb = bricks.shape[0]
     ns = nb // WSTEP
@@ -301,7 +318,7 @@ def _seg_fwd(bricks, w0s, cont_frs, ws0, d8st, basis, tp: int,
     return pl.pallas_call(
         functools.partial(_fwd_kernel, p=p),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4,
+            num_scalar_prefetch=5,
             grid=(ns,),
             in_specs=[
                 pl.BlockSpec((WSTEP, 16, BRICK), lambda s, *_: (s, 0, 0),
@@ -325,18 +342,19 @@ def _seg_fwd(bricks, w0s, cont_frs, ws0, d8st, basis, tp: int,
             bytes_accessed=nb * 16 * BRICK * 4 + ns * SW * p * 4,
             transcendentals=nb * BRICK * p),
         interpret=interpret,
-    )(w0s, cont_frs, ws0, d8st, bricks, basis)
+    )(nlive, w0s, cont_frs, ws0, d8st, bricks, basis)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _seg_bwd(bricks, w0s, cont_frs, ws0, basis, gt, interpret: bool):
+def _seg_bwd(bricks, nlive, w0s, cont_frs, ws0, basis, gt,
+             interpret: bool):
     nb = bricks.shape[0]
     ns = nb // WSTEP
     p = basis.shape[1]
     return pl.pallas_call(
         functools.partial(_bwd_kernel, p=p),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=4,
             grid=(ns,),
             in_specs=[
                 pl.BlockSpec((WSTEP, 16, BRICK), lambda s, *_: (s, 0, 0),
@@ -361,7 +379,7 @@ def _seg_bwd(bricks, w0s, cont_frs, ws0, basis, gt, interpret: bool):
             bytes_accessed=nb * (16 + 8) * BRICK * 4 + ns * SW * p * 4,
             transcendentals=nb * BRICK * p),
         interpret=interpret,
-    )(w0s, cont_frs, ws0, bricks, basis, gt)
+    )(nlive, w0s, cont_frs, ws0, bricks, basis, gt)
 
 
 def _prep(packed_sorted, pbins: PairBins, origins):
@@ -414,7 +432,13 @@ def _prep(packed_sorted, pbins: PairBins, origins):
     d8st = jnp.concatenate(
         [ws0[1:] - ws0[:-1], jnp.zeros((1,), jnp.int32)])
     tp = cdiv(T, CARRY) * CARRY + SW
-    return src, ox, oy, bricks, w0s, cont_frs, ws0, d8st, tp, valid
+    # grid steps holding at least one REAL pair: the kernels skip the
+    # compute body past this (the budget's density-growth headroom)
+    kept_total = pbins.s_f[-1]
+    nlive = jnp.clip((kept_total + BRICK * WSTEP - 1) // (BRICK * WSTEP),
+                     0, nb // WSTEP).astype(jnp.int32)[None]
+    return (src, ox, oy, bricks, nlive, w0s, cont_frs, ws0, d8st, tp,
+            valid)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
@@ -433,14 +457,16 @@ def segpair_render(packed_sorted, pbins: PairBins, origins, basis, sink,
 
 def _seg_fwd_impl(packed_sorted, pbins, origins, basis, interpret):
     interpret = _auto_interpret() if interpret is None else interpret
-    (src, ox, oy, bricks, w0s, cont_frs, ws0, d8st, tp,
+    (src, ox, oy, bricks, nlive, w0s, cont_frs, ws0, d8st, tp,
      valid) = _prep(packed_sorted, pbins, origins)
     T = pbins.counts_f.shape[0]
-    raw = _seg_fwd(bricks, w0s, cont_frs, ws0, d8st, basis, tp, interpret)
+    raw = _seg_fwd(bricks, nlive, w0s, cont_frs, ws0, d8st, basis, tp,
+                   interpret)
     # rows of empty tiles are never written (uninitialized HBM): mask by
     # true run length
     img = jnp.where(pbins.counts_f[:, None] > 0, raw[:T], 0.0)
-    return img, (src, ox, oy, bricks, w0s, cont_frs, ws0, img, valid)
+    return img, (src, ox, oy, bricks, nlive, w0s, cont_frs, ws0, img,
+                 valid)
 
 
 def _sp_fwd(packed_sorted, pbins, origins, basis, sink, cap, interpret):
@@ -451,7 +477,7 @@ def _sp_fwd(packed_sorted, pbins, origins, basis, sink, cap, interpret):
 
 def _sp_bwd(cap, interpret, saved, g):
     n, pbins, basis, res = saved
-    (src, ox, oy, bricks, w0s, cont_frs, ws0, img, valid) = res
+    (src, ox, oy, bricks, nlive, w0s, cont_frs, ws0, img, valid) = res
     interpret = _auto_interpret() if interpret is None else interpret
     B = pbins.pair_ranks.shape[0]
     T = pbins.counts_f.shape[0]
@@ -465,7 +491,8 @@ def _sp_bwd(cap, interpret, saved, g):
     # as separate planes
     gt = jnp.zeros((tp, p), jnp.float32)
     gt = gt.at[:T].set(g * (1.0 - img))
-    dbricks = _seg_bwd(bricks, w0s, cont_frs, ws0, basis, gt, interpret)
+    dbricks = _seg_bwd(bricks, nlive, w0s, cont_frs, ws0, basis, gt,
+                       interpret)
     dfeats = dbricks.transpose(0, 2, 1).reshape(-1, 8)   # [Bp,8]
     dfeats = jnp.where(valid[:, None], dfeats, 0.0)
 
