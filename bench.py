@@ -59,22 +59,27 @@ def practical_sol_model(n, width, height, tiles):
     M = tiles.get("max_tiles_per_gaussian", 64)
     B = tiles.get("pair_budget", 0) or T * 64
     if tiles.get("pair_kernel") == "seg":
-        # round-4 v5 trace coefficients (scripts/segpair_profile.py).
+        # round-5 v5.2 trace coefficients (scripts/segpair_profile.py).
         # Run starts use the histogram-bracketed exact search
         # (tiles._tile_run_starts, round 4): its floor is the
         # [T+1, stride/8] window ROW gather at the measured 3.2 ns/row
         # 8-wide-row-gather coefficient ([T]-sized histogram/cumsum
         # arithmetic is negligible). The 13.7 ns x T x log2(N*M)
         # searchsorted bisection this replaced is GONE from the
-        # pipeline and is no longer charged.
+        # pipeline and is no longer charged. Kernel cost is
+        # proportional to REAL pairs (live grid steps skip the budget
+        # tail — round 5); the XLA-side pair stages stay proportional
+        # to the static budget. ``real_pairs`` in the tiles dict
+        # supplies the workload's measured pair count (defaults to B).
+        Bl = min(tiles.get("real_pairs", B), B)
         stages = {
             "fused_key_sort": 1.13e-9 * n * M,
             "run_starts_hist": 3.2e-9 * 16 * (T + 1),
             "pair_tables_decode": 3.2e-9 * B + 0.05e-3,
             "pair_gather": 3.2e-9 * B,
             "feats_bricks": 2.6e-9 * B,
-            "fwd_kernel": 9.2e-9 * B,
-            "bwd_kernel": 16.2e-9 * B,
+            "fwd_kernel": 8.4e-9 * Bl,
+            "bwd_kernel": 10.4e-9 * Bl,
             "grad_scatter": 7e-9 * (B + n),
             "projection": 8e-9 * n,
         }
@@ -150,19 +155,25 @@ FIXTURE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "bench_fixture", "abc_00004926.npz")
 
 # shipped ABC_DexiNed tile geometry (configs/ABC_DexiNed.json) plus the
-# production fast path: the round-4 v5 SEGMENTED pair compositor
+# production fast path: the v5 SEGMENTED pair compositor
 # (ops/pallas_segpair.py — pair-dense bricks, sort-free tables; budget
 # 49152 = 1.5x the fixture's measured 32788 pairs; parity-tested vs the
 # dense path and the v4 block kernel to f32 noise). Measured on v5e:
 # 68.2 (dense frame) -> 85.2 (pair prefix) -> 95.7 (pair+occupancy,
 # round 2/3) -> 131-143 Mpx/s (v4 pair kernel) -> 168-173 Mpx/s (v5
-# seg kernel, round 4; dense path measured 75-93 the same sessions).
+# seg kernel, round 4; dense path measured 75-93 the same sessions) ->
+# 188 (v5.2 algebraic backward + 2-pass one-hot, round 5) -> 202-204
+# (live-step budget-tail skip, round 5).
 # --pair_kernel 0 selects the two-level dense-frame path, 1 the v4
 # block-window kernel.
 ABC_TILES = dict(tile_size=16, capacity=768, dense_capacity=128,
                  overflow_tiles=128, max_tiles_per_gaussian=16,
                  pair_budget=49152, occupancy_sort=True,
-                 pair_kernel="seg")
+                 pair_kernel="seg",
+                 # measured peak pair count of the fixture's 50 views
+                 # (pair-budget audit) — informs the floor model's
+                 # live-step kernel cost; not a render parameter
+                 real_pairs=32788)
 SYN_TILES = dict(tile_size=16, capacity=512, dense_capacity=128)
 
 
@@ -244,10 +255,11 @@ def main():
     if args.capacity is not None:
         tiles = dict(tiles, capacity=args.capacity)
     target = jnp.zeros((height, width), jnp.float32)
+    render_tiles = {k: v for k, v in tiles.items() if k != "real_pairs"}
 
     def loss_fn(m, q, s, o, viewmat, K):
         out = rasterize(m, q, s, o, viewmat, K, width, height,
-                        backend=backend, **tiles)
+                        backend=backend, **render_tiles)
         return jnp.mean(jnp.abs(jnp.clip(out.image, 0, 1) - target))
 
     step = jax.jit(jax.value_and_grad(loss_fn, argnums=(0, 1, 2, 3)))
