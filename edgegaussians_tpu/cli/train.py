@@ -60,9 +60,10 @@ def main(argv=None):
                          "tile-band-sharded across 'tiles' (the "
                          "multi-host recipe, docs/SCALING.md §4)")
     args = ap.parse_args(argv)
-    if args.mesh_gauss and (args.mesh_tiles or args.mesh_views):
-        raise SystemExit("--mesh_gauss cannot combine with --mesh_tiles/"
-                         "--mesh_views")
+    if args.mesh_gauss and args.mesh_tiles:
+        raise SystemExit("--mesh_gauss cannot combine with --mesh_tiles "
+                         "(pick ONE per-render sharding axis; either "
+                         "composes with --mesh_views)")
 
     from edgegaussians_tpu.parallel import distributed
     distributed.initialize()   # no-op single-process (multi-host: env vars)
@@ -117,9 +118,9 @@ def main(argv=None):
         print(f"Resumed from {args.ckpt_path}")
 
     mesh, mesh_strategy = None, "tiles"
-    n_mesh = (args.mesh_views * args.mesh_tiles
-              if args.mesh_views and args.mesh_tiles
-              else args.mesh_tiles or args.mesh_gauss or args.mesh_views)
+    inner_axis = max(args.mesh_tiles or args.mesh_gauss, 1)
+    n_mesh = (args.mesh_views * inner_axis if args.mesh_views
+              else args.mesh_tiles or args.mesh_gauss)
     if n_mesh > 0:
         import jax
         from jax.sharding import Mesh
@@ -129,16 +130,22 @@ def main(argv=None):
                              f"{len(devs)} available devices")
         if args.mesh_views:
             from edgegaussians_tpu.parallel import mesh as mesh_mod
-            tile_axis = max(args.mesh_tiles, 1)
-            mesh = mesh_mod.make_mesh(view_axis=args.mesh_views,
-                                      tile_axis=tile_axis,
-                                      devices=devs[:n_mesh])
-            cfg.training.step_mode = "view_batch"
-            if tile_axis > 1:
-                print(f"hierarchical view-DP x tile-band training over "
-                      f"{args.mesh_views}x{tile_axis} devices")
+            if args.mesh_gauss:
+                mesh = mesh_mod.make_views_gauss_mesh(
+                    args.mesh_views, inner_axis, devices=devs[:n_mesh])
+                print(f"hierarchical view-DP x Gaussian-TP training over "
+                      f"{args.mesh_views}x{inner_axis} devices")
             else:
-                print(f"view-DP training over {args.mesh_views} devices")
+                mesh = mesh_mod.make_mesh(view_axis=args.mesh_views,
+                                          tile_axis=inner_axis,
+                                          devices=devs[:n_mesh])
+                if inner_axis > 1:
+                    print(f"hierarchical view-DP x tile-band training "
+                          f"over {args.mesh_views}x{inner_axis} devices")
+                else:
+                    print(f"view-DP training over {args.mesh_views} "
+                          "devices")
+            cfg.training.step_mode = "view_batch"
         else:
             mesh_strategy = "gauss" if args.mesh_gauss else "tiles"
             mesh = Mesh(np.array(devs[:n_mesh]), (mesh_strategy,))

@@ -38,6 +38,20 @@ def make_mesh(view_axis: int = 0, tile_axis: int = 1,
     return Mesh(dev_array, ("views", "tiles"))
 
 
+def make_views_gauss_mesh(view_axis: int, gauss_axis: int,
+                          devices: Optional[Sequence] = None) -> Mesh:
+    """Build a ('views', 'gauss') mesh: DP over view shards composed with
+    Gaussian-axis TP inside each view row (parallel/train_dp.py composed-TP
+    mode) — the large-capacity multi-host recipe of docs/SCALING.md §4."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = view_axis * gauss_axis
+    if n > len(devices):
+        raise ValueError(
+            f"mesh {view_axis}x{gauss_axis} exceeds {len(devices)} devices")
+    return Mesh(np.array(devices[:n]).reshape(view_axis, gauss_axis),
+                ("views", "gauss"))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -22,6 +22,16 @@ expressed with ``shard_map`` so XLA inserts the ICI collectives:
   losses sum to the full-image loss, so a (v, t) mesh follows the
   (v, 1) trajectory to f32 reduction-order noise
   (tests/test_train_dp_trajectory.py).
+
+  **DP x TP composition** (('views','gauss') mesh): the large-capacity
+  variant of the same recipe — inside each view row the render runs the
+  Gaussian-axis TP pattern (project MY parameter shard → all-gather the
+  packed [N,8] rows → composite MY tile band; parallel/train_tp.py), so
+  the per-chip projection/compositing memory and work scale down by the
+  'gauss' axis while DP scales view throughput across hosts. Gradients
+  accumulate in shard space over the view scan and reassemble with one
+  dynamic-update-slice + psum over both axes. Exact: follows the (v, 1)
+  trajectory to f32 noise (tests/test_train_dp_trajectory.py).
 - :func:`make_tile_sharded_render` — *tile* mode: one view's tile axis is
   sharded so a single render (and its backward) spans the 'tiles' axis;
   parameter gradients psum back to replicas. Preserves per-view SGD
@@ -68,10 +78,18 @@ def make_dp_train_step(cfg: FrameworkConfig, width: int, height: int,
     from edgegaussians_tpu.ops.tiles import tile_grid
     ntx, nty, num_tiles = tile_grid(width, height, mcfg.tile_size)
     n_tiles_axis = dict(mesh.shape).get("tiles", 1)
+    n_gauss_axis = dict(mesh.shape).get("gauss", 1)
     composed = n_tiles_axis > 1
-    if composed:
+    # DP x TP: ('views','gauss') mesh — every view shard's render runs
+    # the TP pattern (project MY Gaussian shard -> all-gather packed
+    # rows -> composite MY tile band; parallel/train_tp.py) inside its
+    # view row. The per-chip memory/work axis for DTU/Replica-scale
+    # capacities composed with DP across hosts (docs/SCALING.md §4).
+    composed_tp = n_gauss_axis > 1
+    band_axis = "tiles" if composed else "gauss"
+    if composed or composed_tp:
         rows_per, band_h, pad_h = bands.band_geometry(
-            width, height, mcfg.tile_size, n_tiles_axis)
+            width, height, mcfg.tile_size, n_tiles_axis * n_gauss_axis)
         ovf_full = mcfg.tile_overflow_tiles or max(num_tiles // 4, 8)
         overflow_tiles = min(ovf_full, rows_per * ntx)
     else:
@@ -101,14 +119,16 @@ def make_dp_train_step(cfg: FrameworkConfig, width: int, height: int,
     enforce = ol_cfg.dir_loss_enforce_method
 
     def local_grads(params, alive, images, edge_masks, viewmats, Ks, key,
-                    strategy_idx, lambda_proj, bg_ratio, row0):
+                    strategy_idx, lambda_proj, bg_ratio, row0, g0):
         """Grad sum over this device's views (lax.scan, rematerialized).
 
-        ``row0``: this device's first tile row (composed mode; 0 and
-        unused otherwise). Composed mode renders only the [row0,
-        row0+rows_per) band of each view and computes band-PARTIAL losses;
-        the caller's psum over ('views','tiles') is then the exact
-        full-batch reduction.
+        ``row0``: this device's first tile row (composed modes; 0 and
+        unused otherwise). Composed modes render only the [row0,
+        row0+rows_per) band of each view and compute band-PARTIAL losses;
+        the caller's psum over both mesh axes is then the exact
+        full-batch reduction. ``g0``: this device's first Gaussian row
+        (composed-TP mode; 0 and unused otherwise) — grads accumulate in
+        SHARD space and the caller reassembles them.
         """
         nv = images.shape[0]
         # Differentiate w.r.t. VARYING params so grads stay per-device
@@ -117,16 +137,66 @@ def make_dp_train_step(cfg: FrameworkConfig, width: int, height: int,
         # back already cross-device-summed (the auto-inserted pvary
         # transposes to a psum), which made the explicit psum overcount by
         # the axis size — measured 4x on a 4-way mesh.
-        vrefs = (images, row0) if composed else (images,)
+        vrefs = (images, row0) if (composed or composed_tp) else (images,)
         params = jax.tree.map(lambda x: vma_mod.match_vma(x, *vrefs),
                               params)
         y0 = (row0 * mcfg.tile_size).astype(jnp.int32)
+        if composed_tp:
+            shard_n = params.means.shape[0] // n_gauss_axis
+            p_shard = jax.tree.map(
+                lambda x: jax.lax.dynamic_slice_in_dim(x, g0, shard_n, 0),
+                params)
+            alive_sh = jax.lax.dynamic_slice_in_dim(
+                vma_mod.match_vma(alive, *vrefs), g0, shard_n, 0)
+            rkw_tp = {k: v for k, v in render_kwargs.items()
+                      if k != "antialiased"}
 
         def one_view(carry, iv):
             gsum, lsum, asum, psum_pairs, key = carry
             key, k_bg = jax.random.split(key)
 
             def loss_fn(p, sink):
+                if composed_tp:
+                    # TP pattern inside this view row (train_tp.py):
+                    # project MY shard, all-gather the packed rows,
+                    # composite MY band; band-partial loss
+                    from edgegaussians_tpu.ops.projection import (
+                        ProjectedGaussians, project_gaussians)
+                    from edgegaussians_tpu.ops.rasterize import \
+                        rasterize_packed
+                    from edgegaussians_tpu.ops.tiles import \
+                        pack_gaussian_render_data
+                    proj_sh = project_gaussians(
+                        p.means, p.quats, jnp.exp(p.scales),
+                        jax.nn.sigmoid(p.opacities[:, 0]), viewmats[iv],
+                        Ks[iv], width, height,
+                        antialiased=(mcfg.rasterize_mode == "antialiased"),
+                        alive=alive_sh)
+                    packed_sh = pack_gaussian_render_data(proj_sh)
+                    packed = jax.lax.all_gather(packed_sh, "gauss",
+                                                tiled=True)
+                    depths = jax.lax.all_gather(proj_sh.depths, "gauss",
+                                                tiled=True)
+                    radii = jax.lax.all_gather(proj_sh.radii, "gauss",
+                                               tiled=True)
+                    proj = ProjectedGaussians(
+                        means2d=packed[:, 3:5], conics=packed[:, 0:3],
+                        depths=depths, radii=radii,
+                        opacities=jnp.exp(packed[:, 5]),
+                        valid=packed[:, 6] > 0)
+                    out = rasterize_packed(
+                        proj, packed, width, height, absgrad_sink=sink,
+                        band_row0=row0, band_tile_rows=rows_per, **rkw_tp)
+                    pred = jnp.clip(out.image, 0.0, 1.0)
+                    gt_b, em_b, valid_b = bands.band_inputs(
+                        images[iv], edge_masks[iv], y0, band_h, pad_h,
+                        height, width)
+                    l = bands.band_partial_loss(
+                        pred, gt_b, em_b, valid_b, edge_masks[iv],
+                        strategy_idx, bg_ratio, k_bg,
+                        loss_type=pl_cfg.loss_type, height=height,
+                        width=width, y0=y0, band_h=band_h, pad_h=pad_h)
+                    return l, out
                 if composed:
                     out = render_view(p, alive, viewmats[iv], Ks[iv],
                                       width, height, absgrad_sink=sink,
@@ -166,14 +236,15 @@ def make_dp_train_step(cfg: FrameworkConfig, width: int, height: int,
             sink0 = vma_mod.match_vma(
                 jnp.zeros((params.means.shape[0], 2), jnp.float32),
                 *vrefs)
+            primal = p_shard if composed_tp else params
             (l, out), (g, gsink) = jax.value_and_grad(
-                loss_fn, argnums=(0, 1), has_aux=True)(params, sink0)
-            if composed:
+                loss_fn, argnums=(0, 1), has_aux=True)(primal, sink0)
+            if composed or composed_tp:
                 # absgrad is norm-of-the-TILE-SUM per render
                 # (edge_gs.py:607-613); bands hold disjoint tile subsets,
-                # so the [N,2] sink cotangent psums over 'tiles' BEFORE
-                # the norm — a small per-view collective (8N bytes)
-                gsink = jax.lax.psum(gsink, ("tiles",))
+                # so the [N,2] sink cotangent psums over the band axis
+                # BEFORE the norm — a small per-view collective (8N bytes)
+                gsink = jax.lax.psum(gsink, (band_axis,))
             if out.num_pairs is not None:
                 psum_pairs = jnp.maximum(psum_pairs, out.num_pairs)
             gsum = jax.tree.map(jnp.add, gsum, g)
@@ -186,10 +257,11 @@ def make_dp_train_step(cfg: FrameworkConfig, width: int, height: int,
         def vary(x):
             return vma_mod.match_vma(x, *vrefs)
 
-        def vary_v(x):      # 'views'-only (post-tiles-psum quantities)
+        def vary_v(x):      # 'views'-only (post-band-psum quantities)
             return vma_mod.match_vma(x, images)
 
-        gsum0 = jax.tree.map(lambda x: vary(jnp.zeros_like(x)), params)
+        gsum0 = jax.tree.map(lambda x: vary(jnp.zeros_like(x)),
+                             p_shard if composed_tp else params)
         (gsum, lsum, asum, pairs, _), _ = jax.lax.scan(
             one_view, (gsum0, vary(jnp.float32(0.0)),
                        vary_v(jnp.zeros((params.means.shape[0],))),
@@ -210,12 +282,35 @@ def make_dp_train_step(cfg: FrameworkConfig, width: int, height: int,
         # replicates the whole render across 'tiles')
         vid = jax.lax.axis_index("views")
         key = jax.random.fold_in(key, vid)
-        row0 = ((jax.lax.axis_index("tiles") * rows_per).astype(jnp.int32)
-                if composed else jnp.int32(0))
+        if composed:
+            row0 = (jax.lax.axis_index("tiles")
+                    * rows_per).astype(jnp.int32)
+        elif composed_tp:
+            row0 = (jax.lax.axis_index("gauss")
+                    * rows_per).astype(jnp.int32)
+        else:
+            row0 = jnp.int32(0)
+        g0 = ((jax.lax.axis_index("gauss")
+               * (params.means.shape[0] // n_gauss_axis)).astype(jnp.int32)
+              if composed_tp else jnp.int32(0))
         g, l, a, pairs = local_grads(params, alive, images, edge_masks,
                                      viewmats, Ks, key, strategy_idx,
-                                     lambda_proj, bg_ratio, row0)
-        if composed:
+                                     lambda_proj, bg_ratio, row0, g0)
+        if composed_tp:
+            # shard grads reassemble: each device owns Gaussian rows
+            # [g0, g0+n/d) of its view shard's sum; slice-in + psum over
+            # BOTH axes (train_tp.py's `full`, plus the view reduction)
+            def full(g_shard, like):
+                z = jnp.zeros_like(vma_mod.match_vma(like, images, row0))
+                return jax.lax.psum(
+                    jax.lax.dynamic_update_slice_in_dim(z, g_shard, g0, 0),
+                    ("views", "gauss"))
+
+            g = jax.tree.map(full, g, params)
+            l = jax.lax.psum(l, ("views", "gauss"))
+            a = jax.lax.psum(a, ("views",))
+            pairs = jax.lax.pmax(pairs, ("views", "gauss"))
+        elif composed:
             # band partials reduce over BOTH axes; absgrad already
             # tiles-psum'd per view, so it rides 'views' only
             g = jax.lax.psum(g, ("views", "tiles"))

@@ -108,6 +108,13 @@ def main():
         compile_and_summarize(
             "dp_x_tiles",
             train_dp.make_dp_train_step(cfg, W, H, "pallas", mesh_h))
+        # hierarchical DP x Gaussian-TP (d/2 x 2) — SCALING §4's
+        # large-capacity recipe (train_dp.py composed-TP mode)
+        mesh_vg = Mesh(np.array(devs).reshape(d // 2, 2),
+                       ("views", "gauss"))
+        compile_and_summarize(
+            "dp_x_gauss",
+            train_dp.make_dp_train_step(cfg, W, H, "pallas", mesh_vg))
 
     # tile-band epoch (exact per-view SGD semantics)
     mesh_t = Mesh(np.array(devs), ("tiles",))

@@ -130,6 +130,14 @@ def build_mesh_and_step(strategy, cfg, W, H):
         mesh = mesh_mod.make_mesh(view_axis=n // per_proc,
                                   tile_axis=per_proc,
                                   devices=jax.devices())
+    elif strategy == "dp_gauss":
+        # DP across processes x Gaussian-axis TP inside each: the
+        # per-render all-gather of packed rows stays process-local while
+        # the batch grad psum crosses processes (SCALING §4's
+        # large-capacity recipe; parallel/train_dp.py composed-TP mode)
+        per_proc = jax.local_device_count()
+        mesh = mesh_mod.make_views_gauss_mesh(n // per_proc, per_proc,
+                                              devices=jax.devices())
     else:
         raise SystemExit(f"unknown strategy {strategy}")
     dp_step = train_dp.make_dp_train_step(cfg, W, H, "jax", mesh)
@@ -150,7 +158,7 @@ def main():
     ap.add_argument("--process_id", type=int, required=True)
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--strategy", default="tiles",
-                    choices=["tiles", "tp", "dp", "dp_tiles"])
+                    choices=["tiles", "tp", "dp", "dp_tiles", "dp_gauss"])
     ap.add_argument("--out", required=True)
     ap.add_argument("--capacity", type=int, default=128,
                     help="Gaussian capacity (131072 = DTU shape; scales "

@@ -397,6 +397,40 @@ def test_train_cli_mesh_views_dp(mini_dataset):
     np.testing.assert_allclose(dp_pos, ref_pos, atol=5e-6)
 
 
+@pytest.mark.skipif(
+    __import__("jax").device_count() < 4, reason="needs 4 virtual devices")
+def test_train_cli_mesh_views_gauss_composed(mini_dataset):
+    """--mesh_views N --mesh_gauss M trains the DP x TP composed step
+    over a ('views','gauss') mesh (VERDICT r4 #7); the 2x2 trajectory
+    matches the flat 2-view DP trajectory."""
+    import json as _json
+
+    from edgegaussians_tpu.io.ply import read_gaussian_params_from_ply
+
+    cfg_path, tmp = mini_dataset
+    cfg = _json.loads(open(cfg_path).read())
+    cfg["training"]["step_mode"] = "view_batch"
+    cfg["training"]["view_batch_size"] = 2
+    dp_cfg = tmp / "dp_tp_cfg.json"
+    dp_cfg.write_text(_json.dumps(cfg))
+
+    out_dir = tmp / "out" / "t_DexiNed" / "SCENE01"
+    rc = train_cli.main(["--config_file", str(dp_cfg), "--scene_name",
+                         "SCENE01", "--backend", "jax", "--force_rerun",
+                         "--mesh_views", "2"])
+    assert rc == 0
+    ref_pos, _, _, _ = read_gaussian_params_from_ply(
+        str(out_dir / "gaussians_all.ply"))
+
+    rc = train_cli.main(["--config_file", str(dp_cfg), "--scene_name",
+                         "SCENE01", "--backend", "jax", "--force_rerun",
+                         "--mesh_views", "2", "--mesh_gauss", "2"])
+    assert rc == 0
+    vg_pos, _, _, _ = read_gaussian_params_from_ply(
+        str(out_dir / "gaussians_all.ply"))
+    np.testing.assert_allclose(vg_pos, ref_pos, atol=5e-6)
+
+
 def test_bench_sol_model():
     """The roofline model (bench.sol_model) returns a positive bound well
     under any plausible measured step, and scales with the pair budget."""

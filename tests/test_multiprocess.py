@@ -139,6 +139,41 @@ def test_two_process_tp_matches_single_process(tmp_path):
 
 
 @needs4
+def test_two_process_composed_dp_tp_matches_single_process(tmp_path):
+    """Hierarchical DP x Gaussian-TP with the 'views' axis spanning the
+    two processes: the per-batch grad psum rides the process boundary
+    (the DCN leg) while each view row's packed-row all-gather stays
+    process-local (the ICI leg) — SCALING §4's large-capacity recipe
+    (VERDICT r4 #7)."""
+    r0 = _launch("dp_gauss", str(tmp_path / "mp_dpg"))
+
+    worker = _worker_module()
+    from edgegaussians_tpu.parallel import mesh as mesh_mod
+    from edgegaussians_tpu.parallel import train_dp
+    from edgegaussians_tpu.train import trainer
+
+    seeds, images, edge_masks, vms, Ks = worker.build_scene()
+    cfg = worker.build_cfg()
+    W, H = images.shape[2], images.shape[1]
+    mesh = mesh_mod.make_views_gauss_mesh(2, 2,
+                                          devices=jax.devices()[:4])
+    dp_step = train_dp.make_dp_train_step(cfg, W, H, "jax", mesh)
+    ts = trainer.init_train_state(seeds, cfg)
+    sl = slice(0, worker.DP_BATCH)
+    loss = None
+    for ep in range(EPOCHS):
+        with mesh:
+            ts, loss, _ = dp_step(ts, jnp.int32(ep), images[sl],
+                                  edge_masks[sl], vms[sl], Ks[sl])
+
+    np.testing.assert_allclose(r0["means"],
+                               np.asarray(ts.gaussians.params.means),
+                               atol=2e-6)
+    np.testing.assert_allclose(float(r0["loss"]), float(loss), rtol=1e-5)
+    assert int(r0["step"]) == int(ts.step)
+
+
+@needs4
 def test_two_process_composed_dp_matches_single_process(tmp_path):
     """Hierarchical DP x tile-band with the 'views' axis spanning the two
     processes: per-batch grad psum rides the process boundary (the DCN
