@@ -143,37 +143,36 @@ def _fwd_kernel(counts_ref, feats_ref, basis_ref, tin_ref, out_ref,
     tout_ref[:] = t_carry
 
 
-def _bwd_kernel(counts_ref, feats_ref, basis_ref, g_ref, tin_ref,
-                prior_ref, total_ref, dfeats_ref, *, chunk):
+def _bwd_kernel(counts_ref, feats_ref, basis_ref, gt2_ref, tin_ref,
+                dfeats_ref, *, chunk):
     basis = basis_ref[:]
     tb, _, k = feats_ref.shape
     n_chunks = k // chunk
     maxc = _block_max_count(counts_ref, tb)
-    g = g_ref[:]                                   # [TB,P]
-    total = total_ref[:]                           # [TB,P] global contribution
+    # pre-folded cotangent g*(1-total): with all-ones colors the
+    # contribution prefix telescopes to 1 - t_inc (keep is a prefix
+    # property of the monotone transmittance), so
+    # dL/dalpha = g (1 - total) / om for every kept slot — no
+    # contribution cumsum, no prior-segment carry, no t_prev division
+    # (the v5.2 algebra of pallas_segpair.py, applied to the chunked
+    # dense kernel)
+    gt2 = gt2_ref[:]                               # [TB,P]
 
-    def work(c, args):
-        csum, t_carry = args
+    def work(c, t_carry):
         fc = feats_ref[:, :, pl.ds(c * chunk, chunk)]
         alpha, ok = _chunk_alpha(fc, basis)
         om = 1.0 - alpha
         t_inc = t_carry[:, None, :] * _cumprod_slots(om, chunk)
         keep = (t_inc >= TRANSMITTANCE_EPS).astype(jnp.float32)
-        t_prev = t_inc / om
-        contrib = alpha * t_prev * keep
-        c_inc = csum[:, None, :] + _cumsum_slots(contrib, chunk)
-        suffix = total[:, None, :] - c_inc         # contributions of j > k
-        dalpha = (t_prev - suffix / om) * keep * g[:, None, :]
+        dalpha = gt2[:, None, :] / om * keep
         dla = jnp.where(ok & (alpha < ALPHA_CLAMP),
                         alpha * dalpha, 0.0)
         dfc = jax.lax.dot_general(
             dla, basis, (((2,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)   # [TB,C,8]
-        return c_inc[:, chunk - 1, :], t_inc[:, chunk - 1, :], \
-            jnp.swapaxes(dfc, 1, 2)
+        return t_inc[:, chunk - 1, :], jnp.swapaxes(dfc, 1, 2)
 
-    csum = prior_ref[:]                            # earlier-segment prefix
     t_carry = tin_ref[:]
     # vma promotion of fresh values: see _fwd_kernel
     zchunk = vma.match_vma(jnp.zeros((tb, 8, chunk), jnp.float32), t_carry)
@@ -182,14 +181,14 @@ def _bwd_kernel(counts_ref, feats_ref, basis_ref, g_ref, tin_ref,
         do = (maxc > 0) & (jnp.max(t_carry) >= TRANSMITTANCE_EPS)
 
         def run(c, args):
-            csum, t_carry, df = work(c, args[:2])
-            return csum, t_carry, df
+            t_carry, df = work(c, args[0])
+            return t_carry, df
 
         def skip(c, args):
-            return (*args[:2], zchunk)
+            return args[0], zchunk
 
-        _, _, dfc_t = jax.lax.cond(
-            do, run, skip, c0, (csum, t_carry, zchunk))
+        _, dfc_t = jax.lax.cond(
+            do, run, skip, c0, (t_carry, zchunk))
         dfeats_ref[:] = dfc_t
     else:
         # while_loop with predication as the loop condition: see
@@ -199,17 +198,17 @@ def _bwd_kernel(counts_ref, feats_ref, basis_ref, g_ref, tin_ref,
         needed = (maxc + chunk - 1) // chunk
 
         def cond_fn(state):
-            c, _, t_carry = state
+            c, t_carry = state
             return (c < needed) & \
                 (jnp.max(t_carry) >= TRANSMITTANCE_EPS)
 
         def body(state):
-            c, csum, t_carry = state
-            csum, t_carry, dfc_t = work(c, (csum, t_carry))
+            c, t_carry = state
+            t_carry, dfc_t = work(c, t_carry)
             dfeats_ref[:, :, pl.ds(c * chunk, chunk)] = dfc_t
-            return c + 1, csum, t_carry
+            return c + 1, t_carry
 
-        jax.lax.while_loop(cond_fn, body, (c0, csum, t_carry))
+        jax.lax.while_loop(cond_fn, body, (c0, t_carry))
 
 
 def _pad_tiles(x, tb, value=0):
@@ -298,23 +297,24 @@ def composite_bwd_seg(feats, counts, basis, g, t_in, prior, total,
     """Segment VJP wrt feats.
 
     ``t_in``: carried transmittance entering the segment (None -> 1);
-    ``prior``: contribution sum of earlier segments (None -> 0);
+    ``prior``: UNUSED since the v5.2 algebra (kept for call-site
+    compatibility — the contribution prefix telescopes to 1 - t_inc, so
+    earlier segments are encoded in ``t_in`` already);
     ``total``: GLOBAL per-tile contribution sum across all segments — the
-    suffix term of d alpha then accounts for later segments automatically.
+    suffix term of d alpha then accounts for later segments automatically
+    via the pre-folded g*(1-total) cotangent.
     """
+    del prior
     interpret = _auto_interpret() if interpret is None else interpret
     t, _, _ = feats.shape
     p = basis.shape[1]
     if t_in is None:
         t_in = jnp.ones((t, p), jnp.float32)
-    if prior is None:
-        prior = jnp.zeros((t, p), jnp.float32)
-    return _composite_bwd(feats, counts, basis, g, t_in, prior, total,
-                          interpret)
+    return _composite_bwd(feats, counts, basis, g, t_in, total, interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _composite_bwd(feats, counts, basis, g, t_in, prior, total,
+def _composite_bwd(feats, counts, basis, g, t_in, total,
                    interpret: bool = False):
     t, k, _ = feats.shape
     p = basis.shape[1]
@@ -323,10 +323,8 @@ def _composite_bwd(feats, counts, basis, g, t_in, prior, total,
     assert k % chunk == 0
     feats_t = _pad_tiles(jnp.swapaxes(feats, 1, 2), tb)
     counts_p = _pad_tiles(counts.astype(jnp.int32)[:, None], tb)
-    g_p = _pad_tiles(g, tb)
+    gt2_p = _pad_tiles(g * (1.0 - total), tb)
     tin_p = _pad_tiles(t_in, tb)
-    prior_p = _pad_tiles(prior, tb)
-    total_p = _pad_tiles(total, tb)
     tp = feats_t.shape[0]
 
     pk_spec = pl.BlockSpec((tb, p), lambda i: (i, 0),
@@ -340,16 +338,16 @@ def _composite_bwd(feats, counts, basis, g, t_in, prior, total,
             pl.BlockSpec((tb, 8, k), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, p), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pk_spec, pk_spec, pk_spec, pk_spec,
+            pk_spec, pk_spec,
         ],
         out_specs=pl.BlockSpec((tb, 8, k), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=vma.out_struct((tp, 8, k), jnp.float32, feats_t,
-                                 counts_p, g_p, tin_p, prior_p, total_p),
+                                 counts_p, gt2_p, tin_p),
         cost_estimate=pl.CostEstimate(
-            flops=4 * tp * k * 9 * p + 28 * tp * k * p,
+            flops=4 * tp * k * 9 * p + 20 * tp * k * p,
             bytes_accessed=2 * tp * k * 8 * 4 + tp * p * 4,
             transcendentals=tp * k * p),
         interpret=interpret,
-    )(counts_p, feats_t, basis, g_p, tin_p, prior_p, total_p)
+    )(counts_p, feats_t, basis, gt2_p, tin_p)
     return jnp.swapaxes(dfeats_t[:t], 1, 2)
