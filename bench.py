@@ -177,6 +177,12 @@ ABC_TILES = dict(tile_size=16, capacity=768, dense_capacity=128,
 SYN_TILES = dict(tile_size=16, capacity=512, dense_capacity=128)
 
 
+def render_kwargs(tiles: dict) -> dict:
+    """Strip workload-annotation keys (floor-model inputs, not render
+    parameters) before splatting a tiles dict into rasterize()."""
+    return {k: v for k, v in tiles.items() if k != "real_pairs"}
+
+
 def synthetic_scene():
     import jax.numpy as jnp
     n, width, height = 20000, 800, 800
@@ -255,7 +261,7 @@ def main():
     if args.capacity is not None:
         tiles = dict(tiles, capacity=args.capacity)
     target = jnp.zeros((height, width), jnp.float32)
-    render_tiles = {k: v for k, v in tiles.items() if k != "real_pairs"}
+    render_tiles = render_kwargs(tiles)
 
     def loss_fn(m, q, s, o, viewmat, K):
         out = rasterize(m, q, s, o, viewmat, K, width, height,

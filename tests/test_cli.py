@@ -330,7 +330,7 @@ def test_bench_fixture_traces():
 
     def loss_fn(m, q, s, o):
         out = rasterize(m, q, s, o, viewmats[0], Ks[0], w, h,
-                        backend="jax", **tiles)
+                        backend="jax", **bench.render_kwargs(tiles))
         return jnp.mean(out.image)
 
     g = jax.eval_shape(jax.value_and_grad(loss_fn, argnums=(0, 1, 2, 3)),
