@@ -194,8 +194,9 @@ def _brick_common(x, basis, cont_fr):
     return alpha, ok, om, t_within, cont, dcol, x[8:9, :]
 
 
-def _fwd_kernel(nlive_ref, w0s_ref, cont_ref, ws0_ref, d8st_ref, brick_ref,
-                basis_ref, out_hbm, stepbuf, carry8, tcar, sem, *, p):
+def _fwd_kernel(nlive_ref, w0s_ref, cont_ref, skip_ref, ws0_ref, d8st_ref,
+                brick_ref, basis_ref, out_hbm, stepbuf, carry8, tcar, sem,
+                *, p):
     s = pl.program_id(0)
 
     def out_dma(idx):
@@ -222,17 +223,25 @@ def _fwd_kernel(nlive_ref, w0s_ref, cont_ref, ws0_ref, d8st_ref, brick_ref,
     ws0 = ws0_ref[s]
 
     def body(k, t_row):
-        alpha, _, om, t_within, cont, _, rraw = _brick_common(
-            brick_ref[k], basis, cont_ref[s * WSTEP + k])
-        t_inc = t_within * jnp.where(cont, t_row, 1.0)
-        keep = (t_inc >= TRANSMITTANCE_EPS).astype(jnp.float32)
-        contrib = alpha * (t_inc / om) * keep         # [BRICK,P]
-        w0b = w0s_ref[s * WSTEP + k]
-        rrow = rraw - w0b.astype(jnp.float32)         # [1,BRICK]
-        seg = _seg_matmul(_onehot(rrow, 0.0, WR), contrib)
-        off = pl.multiple_of(w0b - ws0, CARRY)
-        stepbuf[pl.ds(off, WR)] = stepbuf[pl.ds(off, WR)] + seg
-        return t_inc[BRICK - 1:BRICK, :]
+        def live(t_row):
+            alpha, _, om, t_within, cont, _, rraw = _brick_common(
+                brick_ref[k], basis, cont_ref[s * WSTEP + k])
+            t_inc = t_within * jnp.where(cont, t_row, 1.0)
+            keep = (t_inc >= TRANSMITTANCE_EPS).astype(jnp.float32)
+            contrib = alpha * (t_inc / om) * keep     # [BRICK,P]
+            w0b = w0s_ref[s * WSTEP + k]
+            rrow = rraw - w0b.astype(jnp.float32)     # [1,BRICK]
+            seg = _seg_matmul(_onehot(rrow, 0.0, WR), contrib)
+            off = pl.multiple_of(w0b - ws0, CARRY)
+            stepbuf[pl.ds(off, WR)] = stepbuf[pl.ds(off, WR)] + seg
+            return t_inc[BRICK - 1:BRICK, :]
+
+        # saturated-run skip: brick wholly inside the continuing run AND
+        # carry saturated -> zero contributions; stale carry is exact
+        # (see _prep's skippable derivation)
+        skip = (skip_ref[s * WSTEP + k] > 0) & \
+            (jnp.max(t_row) < TRANSMITTANCE_EPS)
+        return jax.lax.cond(skip, lambda t: t, live, t_row)
 
     # budget tail: steps wholly past the last REAL pair (the budget's
     # density-growth headroom, ~1/3 of the stream at shipped configs)
@@ -253,8 +262,9 @@ def _fwd_kernel(nlive_ref, w0s_ref, cont_ref, ws0_ref, d8st_ref, brick_ref,
         out_dma(s).wait()
 
 
-def _bwd_kernel(nlive_ref, w0s_ref, cont_ref, ws0_ref, brick_ref,
-                basis_ref, gt_hbm, dout_ref, gtwin, tcar, sem, *, p):
+def _bwd_kernel(nlive_ref, w0s_ref, cont_ref, skip_ref, ws0_ref,
+                brick_ref, basis_ref, gt_hbm, dout_ref, gtwin, tcar, sem,
+                *, p):
     s = pl.program_id(0)
 
     def gt_dma(idx):
@@ -271,30 +281,43 @@ def _bwd_kernel(nlive_ref, w0s_ref, cont_ref, ws0_ref, brick_ref,
     gt_dma(s).wait()
 
     def body(k, t_row):
-        alpha, ok, om, t_within, cont, dcol, rraw = _brick_common(
-            brick_ref[k], basis, cont_ref[s * WSTEP + k])
-        t_inc = t_within * jnp.where(cont, t_row, 1.0)
-        keep = (t_inc >= TRANSMITTANCE_EPS).astype(jnp.float32)
+        def live(t_row):
+            alpha, ok, om, t_within, cont, dcol, rraw = _brick_common(
+                brick_ref[k], basis, cont_ref[s * WSTEP + k])
+            t_inc = t_within * jnp.where(cont, t_row, 1.0)
+            keep = (t_inc >= TRANSMITTANCE_EPS).astype(jnp.float32)
 
-        w0b = w0s_ref[s * WSTEP + k]
-        rrow = rraw - w0b.astype(jnp.float32)
-        m = _onehot(rrow, 0.0, WR)                    # [WR,BRICK]
-        off = pl.multiple_of(w0b - ws0, CARRY)
-        gtw = gtwin[pl.ds(off, WR)]                   # [WR,P]
-        # ONE transposed one-hot product gathers the per-lane PRE-FOLDED
-        # cotangent g*(1-total); the suffix term is algebraic (module
-        # docstring): dalpha_l = g (1 - total) / om_l for kept lanes —
-        # no contribution scan, no division by om for t_prev
-        gt2_lane = _onehot_dot(m, gtw, ((0,), (0,)))  # [BRICK,P]
+            w0b = w0s_ref[s * WSTEP + k]
+            rrow = rraw - w0b.astype(jnp.float32)
+            m = _onehot(rrow, 0.0, WR)                # [WR,BRICK]
+            off = pl.multiple_of(w0b - ws0, CARRY)
+            gtw = gtwin[pl.ds(off, WR)]               # [WR,P]
+            # ONE transposed one-hot product gathers the per-lane
+            # PRE-FOLDED cotangent g*(1-total); the suffix term is
+            # algebraic (module docstring): dalpha_l = g (1 - total) /
+            # om_l for kept lanes — no contribution scan, no division
+            # by om for t_prev
+            gt2_lane = _onehot_dot(m, gtw, ((0,), (0,)))  # [BRICK,P]
 
-        dalpha = gt2_lane / om * keep
-        dla = jnp.where(ok & (alpha < ALPHA_CLAMP), alpha * dalpha, 0.0)
-        dfc = jax.lax.dot_general(
-            dla, basis, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)      # [BRICK,8]
-        dout_ref[k] = jnp.swapaxes(dfc, 0, 1)         # [8,BRICK]
-        return t_inc[BRICK - 1:BRICK, :]
+            dalpha = gt2_lane / om * keep
+            dla = jnp.where(ok & (alpha < ALPHA_CLAMP), alpha * dalpha,
+                            0.0)
+            dfc = jax.lax.dot_general(
+                dla, basis, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)  # [BRICK,8]
+            dout_ref[k] = jnp.swapaxes(dfc, 0, 1)     # [8,BRICK]
+            return t_inc[BRICK - 1:BRICK, :]
+
+        def skip_fn(t_row):
+            # saturated-run skip (see _fwd_kernel): every lane's dla
+            # would be 0; the blocked output must still be written
+            dout_ref[k] = jnp.zeros((8, BRICK), jnp.float32)
+            return t_row
+
+        skip = (skip_ref[s * WSTEP + k] > 0) & \
+            (jnp.max(t_row) < TRANSMITTANCE_EPS)
+        return jax.lax.cond(skip, skip_fn, live, t_row)
 
     # budget-tail steps skip compute (see _fwd_kernel); their dbricks
     # blocks stay unwritten — every pair there is invalid and the
@@ -310,15 +333,15 @@ def _bwd_kernel(nlive_ref, w0s_ref, cont_ref, ws0_ref, brick_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("tp", "interpret"))
-def _seg_fwd(bricks, nlive, w0s, cont_frs, ws0, d8st, basis, tp: int,
-             interpret: bool):
+def _seg_fwd(bricks, nlive, w0s, cont_frs, skippable, ws0, d8st, basis,
+             tp: int, interpret: bool):
     nb = bricks.shape[0]
     ns = nb // WSTEP
     p = basis.shape[1]
     return pl.pallas_call(
         functools.partial(_fwd_kernel, p=p),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=5,
+            num_scalar_prefetch=6,
             grid=(ns,),
             in_specs=[
                 pl.BlockSpec((WSTEP, 16, BRICK), lambda s, *_: (s, 0, 0),
@@ -342,11 +365,11 @@ def _seg_fwd(bricks, nlive, w0s, cont_frs, ws0, d8st, basis, tp: int,
             bytes_accessed=nb * 16 * BRICK * 4 + ns * SW * p * 4,
             transcendentals=nb * BRICK * p),
         interpret=interpret,
-    )(nlive, w0s, cont_frs, ws0, d8st, bricks, basis)
+    )(nlive, w0s, cont_frs, skippable, ws0, d8st, bricks, basis)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _seg_bwd(bricks, nlive, w0s, cont_frs, ws0, basis, gt,
+def _seg_bwd(bricks, nlive, w0s, cont_frs, skippable, ws0, basis, gt,
              interpret: bool):
     nb = bricks.shape[0]
     ns = nb // WSTEP
@@ -354,7 +377,7 @@ def _seg_bwd(bricks, nlive, w0s, cont_frs, ws0, basis, gt,
     return pl.pallas_call(
         functools.partial(_bwd_kernel, p=p),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4,
+            num_scalar_prefetch=5,
             grid=(ns,),
             in_specs=[
                 pl.BlockSpec((WSTEP, 16, BRICK), lambda s, *_: (s, 0, 0),
@@ -379,7 +402,7 @@ def _seg_bwd(bricks, nlive, w0s, cont_frs, ws0, basis, gt,
             bytes_accessed=nb * (16 + 8) * BRICK * 4 + ns * SW * p * 4,
             transcendentals=nb * BRICK * p),
         interpret=interpret,
-    )(nlive, w0s, cont_frs, ws0, bricks, basis, gt)
+    )(nlive, w0s, cont_frs, skippable, ws0, bricks, basis, gt)
 
 
 def _prep(packed_sorted, pbins: PairBins, origins):
@@ -428,6 +451,15 @@ def _prep(packed_sorted, pbins: PairBins, origins):
     w0s = (fr_base // CARRY) * CARRY                  # 8-aligned bases
     cont_frs = jnp.concatenate(
         [jnp.full((1,), -1, jnp.int32), fr_rs[:-1, BRICK - 1]])
+    # brick is WHOLLY inside the run continuing from the previous brick
+    # (no run starts in-brick): combined with a saturated carry
+    # (max t < TRANSMITTANCE_EPS) the kernels skip it exactly — every
+    # lane's t_inc <= carry < eps forces keep=0, and the stale carry
+    # stays < eps for any later lane of the same run, so propagating it
+    # unchanged is exact (long busy runs saturate in ~10-30 pairs while
+    # occupancy reaches 500-1000 at production density)
+    skippable = ((fr_rs[:, 0] == cont_frs)
+                 & (fr_rs[:, BRICK - 1] == cont_frs)).astype(jnp.int32)
     ws0 = w0s[::WSTEP]                                # [ns] step bases
     d8st = jnp.concatenate(
         [ws0[1:] - ws0[:-1], jnp.zeros((1,), jnp.int32)])
@@ -437,8 +469,8 @@ def _prep(packed_sorted, pbins: PairBins, origins):
     kept_total = pbins.s_f[-1]
     nlive = jnp.clip((kept_total + BRICK * WSTEP - 1) // (BRICK * WSTEP),
                      0, nb // WSTEP).astype(jnp.int32)[None]
-    return (src, ox, oy, bricks, nlive, w0s, cont_frs, ws0, d8st, tp,
-            valid)
+    return (src, ox, oy, bricks, nlive, w0s, cont_frs, skippable, ws0,
+            d8st, tp, valid)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
@@ -457,16 +489,16 @@ def segpair_render(packed_sorted, pbins: PairBins, origins, basis, sink,
 
 def _seg_fwd_impl(packed_sorted, pbins, origins, basis, interpret):
     interpret = _auto_interpret() if interpret is None else interpret
-    (src, ox, oy, bricks, nlive, w0s, cont_frs, ws0, d8st, tp,
-     valid) = _prep(packed_sorted, pbins, origins)
+    (src, ox, oy, bricks, nlive, w0s, cont_frs, skippable, ws0, d8st,
+     tp, valid) = _prep(packed_sorted, pbins, origins)
     T = pbins.counts_f.shape[0]
-    raw = _seg_fwd(bricks, nlive, w0s, cont_frs, ws0, d8st, basis, tp,
-                   interpret)
+    raw = _seg_fwd(bricks, nlive, w0s, cont_frs, skippable, ws0, d8st,
+                   basis, tp, interpret)
     # rows of empty tiles are never written (uninitialized HBM): mask by
     # true run length
     img = jnp.where(pbins.counts_f[:, None] > 0, raw[:T], 0.0)
-    return img, (src, ox, oy, bricks, nlive, w0s, cont_frs, ws0, img,
-                 valid)
+    return img, (src, ox, oy, bricks, nlive, w0s, cont_frs, skippable,
+                 ws0, img, valid)
 
 
 def _sp_fwd(packed_sorted, pbins, origins, basis, sink, cap, interpret):
@@ -477,7 +509,8 @@ def _sp_fwd(packed_sorted, pbins, origins, basis, sink, cap, interpret):
 
 def _sp_bwd(cap, interpret, saved, g):
     n, pbins, basis, res = saved
-    (src, ox, oy, bricks, nlive, w0s, cont_frs, ws0, img, valid) = res
+    (src, ox, oy, bricks, nlive, w0s, cont_frs, skippable, ws0, img,
+     valid) = res
     interpret = _auto_interpret() if interpret is None else interpret
     B = pbins.pair_ranks.shape[0]
     T = pbins.counts_f.shape[0]
@@ -491,8 +524,8 @@ def _sp_bwd(cap, interpret, saved, g):
     # as separate planes
     gt = jnp.zeros((tp, p), jnp.float32)
     gt = gt.at[:T].set(g * (1.0 - img))
-    dbricks = _seg_bwd(bricks, nlive, w0s, cont_frs, ws0, basis, gt,
-                       interpret)
+    dbricks = _seg_bwd(bricks, nlive, w0s, cont_frs, skippable, ws0,
+                       basis, gt, interpret)
     dfeats = dbricks.transpose(0, 2, 1).reshape(-1, 8)   # [Bp,8]
     dfeats = jnp.where(valid[:, None], dfeats, 0.0)
 
