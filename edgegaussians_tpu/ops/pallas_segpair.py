@@ -58,7 +58,13 @@ proportional to the budget, not to tiles x chunks:
 - the binning tables arrive SORT-FREE (tiles.bin_pairs_frame_order
   with block_tiles=0 computes them from the fused sort's outputs with
   [T]-sized arithmetic + one [B] row-gather — no re-key sort, no
-  second searchsorted; ~0.6 ms/render at ABC shapes).
+  second searchsorted; ~0.6 ms/render at ABC shapes),
+- kernel cost is proportional to REAL work, not the static budget
+  (round 5): grid steps wholly past the last real pair skip their
+  compute body (scalar-prefetched live-step count — the shipped
+  budgets carry ~1.5x density headroom), and bricks wholly inside an
+  already-saturated run skip exactly (whole-run flag + max(t) < eps;
+  the stale sub-eps carry keeps every later lane's keep at 0).
 
 Semantics are identical to v4: single-level capacity (the pair stream is
 pre-filtered to slot < cap by binning), gsplat clamp/skip/cutoff rules,
