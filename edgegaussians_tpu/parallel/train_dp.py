@@ -142,6 +142,11 @@ def make_dp_train_step(cfg: FrameworkConfig, width: int, height: int,
                               params)
         y0 = (row0 * mcfg.tile_size).astype(jnp.int32)
         if composed_tp:
+            if params.means.shape[0] % n_gauss_axis:
+                raise ValueError(
+                    f"capacity {params.means.shape[0]} not divisible by "
+                    f"'gauss' axis size {n_gauss_axis} (required for the "
+                    "DP x TP composed shard reassembly)")
             shard_n = params.means.shape[0] // n_gauss_axis
             p_shard = jax.tree.map(
                 lambda x: jax.lax.dynamic_slice_in_dim(x, g0, shard_n, 0),

@@ -276,6 +276,20 @@ def test_dp_tp_composed_seg_kernel_step():
                                atol=5e-4, rtol=1e-3)
 
 
+def test_dp_tp_indivisible_capacity_raises():
+    """Capacity not divisible by the 'gauss' axis must fail loudly at
+    trace time, not silently floor-divide the shard reassembly."""
+    cfg, ts0, images, edge_masks, viewmats, Ks, W, H = _setup(num_views=4)
+    cfg.model.max_num_gaussians = 96          # 96 % 7 != 0... use axis 7?
+    mesh_c = mesh_mod.make_views_gauss_mesh(1, 5)
+    ts = trainer.init_train_state(
+        np.asarray(ts0.gaussians.params.means)[:64], cfg)
+    step = train_dp.make_dp_train_step(cfg, W, H, "jax", mesh_c)
+    with pytest.raises(Exception, match="not divisible"):
+        with mesh_c:
+            step(ts, jnp.int32(0), images, edge_masks, viewmats, Ks)
+
+
 def test_dp_composed_seg_kernel_matches_flat_trajectory():
     """The PRODUCTION multi-host configuration — hierarchical views x
     tiles DP with the v5 segmented pair kernel (what every shipped
