@@ -52,17 +52,31 @@ def knn(points: jnp.ndarray,            # [N,3]
     # cache below is keyed on the resolved backend string, so changing
     # EG_KNN_BACKEND between calls selects the right program instead of
     # being silently ignored by an already-traced 'auto' entry.
+    import os
     if backend == "auto":
-        import os
         backend = os.environ.get("EG_KNN_BACKEND") or "xla"
     if backend == "pallas":
         from edgegaussians_tpu.ops.pallas_knn import knn_pallas
         return knn_pallas(points, k, mask=mask)
-    return _knn_xla(points, k, mask, chunk, approx)
+    # approx_max_k cost is dominated by the exact sort of its candidate
+    # set, whose size scales with recall_target: 0.99 lowers to a
+    # [chunk, 512] sort at N=16384, measured ~3.8 ms of the ~5 ms
+    # every-5-renders block (round-5 epoch trace). EG_KNN_RECALL=0.95
+    # cuts the block to 4.29 ms, but the looser neighbor sets perturb
+    # the densification trajectory (one production sample: 13322 vs
+    # 12671 final Gaussians, F@10 0.968 vs 0.973 — inside run-to-run
+    # noise but not shown better), so 0.99 stays the default and the
+    # knob is recorded rather than shipped (docs/RESULTS.md round 5).
+    # On CPU approx_max_k falls back to exact top-k, so CPU trajectory
+    # tests see no difference.
+    recall = float(os.environ.get("EG_KNN_RECALL", "0.99"))
+    return _knn_xla(points, k, mask, chunk, approx, recall)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "chunk", "approx"))
-def _knn_xla(points, k, mask=None, chunk=1024, approx=False):
+@functools.partial(jax.jit,
+                   static_argnames=("k", "chunk", "approx", "recall"))
+def _knn_xla(points, k, mask=None, chunk=1024, approx=False,
+             recall=0.99):
     n = points.shape[0]
     pts = jnp.nan_to_num(points.astype(jnp.float32))
     if mask is None:
@@ -87,7 +101,7 @@ def _knn_xla(points, k, mask=None, chunk=1024, approx=False):
         d2 = jnp.where(self_mask, big, d2)
         if approx:
             neg_d2, idx = jax.lax.approx_max_k(-d2, k,
-                                               recall_target=0.99)
+                                               recall_target=recall)
         else:
             neg_d2, idx = jax.lax.top_k(-d2, k)
         return jnp.sqrt(jnp.maximum(-neg_d2, 0.0)), idx
