@@ -61,22 +61,23 @@ def knn(points: jnp.ndarray,            # [N,3]
     # approx_max_k cost is dominated by the exact sort of its candidate
     # set, whose size scales with recall_target: 0.99 lowers to a
     # [chunk, 512] sort at N=16384, measured ~3.8 ms of the ~5 ms
-    # every-5-renders block (round-5 epoch trace). EG_KNN_RECALL=0.95
-    # cuts the block to 4.29 ms, but the looser neighbor sets perturb
-    # the densification trajectory (one production sample: 13322 vs
-    # 12671 final Gaussians, F@10 0.968 vs 0.973 — inside run-to-run
-    # noise but not shown better), so 0.99 stays the default and the
-    # knob is recorded rather than shipped (docs/RESULTS.md round 5).
-    # On CPU approx_max_k falls back to exact top-k, so CPU trajectory
-    # tests see no difference.
-    recall = float(os.environ.get("EG_KNN_RECALL", "0.99"))
+    # every-5-renders block (round-5 epoch trace). The 0.95 default
+    # cuts the block to 4.29 ms (controlled same-seed in-program A/B,
+    # scripts/epoch_ab.py) and is quality-neutral over 3 production
+    # training seeds: chamfer 0.01053 +- 0.0003 / F@10 0.976 +- 0.006
+    # vs the 0.99 distribution 0.0106 +- 0.0003 / 0.974 +- 0.005
+    # (docs/RESULTS.md round 5). 0.85 measured no faster (candidate-set
+    # floor). EG_KNN_RECALL restores any value; on CPU approx_max_k
+    # falls back to exact top-k, so CPU trajectory tests see no
+    # difference.
+    recall = float(os.environ.get("EG_KNN_RECALL", "0.95"))
     return _knn_xla(points, k, mask, chunk, approx, recall)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "chunk", "approx", "recall"))
 def _knn_xla(points, k, mask=None, chunk=1024, approx=False,
-             recall=0.99):
+             recall=0.95):
     n = points.shape[0]
     pts = jnp.nan_to_num(points.astype(jnp.float32))
     if mask is None:
