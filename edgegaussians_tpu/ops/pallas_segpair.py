@@ -125,14 +125,31 @@ def _seg_alpha(fc, basis, logop):
     return alpha, ok
 
 
+def _seg_scan_variant():
+    """Transmittance-scan implementation: 'hillis' = log2(BRICK)-pass
+    segmented Hillis-Steele (SHIPS); 'two_level' = 3 full-width passes
+    within 8-lane groups + a 4-pass scan of the 16 group summaries
+    (extracted/broadcast via tiny one-hot matmuls). MEASURED NEGATIVE
+    on v5e (round 5, 30-step device traces): fwd custom-call 0.538 vs
+    0.313 ms, bwd 0.580 vs 0.383 — the three [16-or-128 x 128] one-hot
+    matmuls and cascade fills cost more in-kernel than the four saved
+    full-width roll passes (short-output matmuls leave the systolic
+    array mostly idle and serialize against the VPU). Kept env-gated
+    so the result is reproducible, not retried."""
+    import os
+    return os.environ.get("EG_SEG_SCAN", "hillis")
+
+
 def _seg_scan(x, dcol, op, unit):
-    """Segmented inclusive Hillis-Steele scan along axis 0 (pairs).
+    """Segmented inclusive scan along axis 0 (pairs), multiplicative.
 
     Shift s applies at lane l iff l-s is in-brick AND in the same run
     (s <= depth slot dcol[l]); out-of-run positions contribute ``unit``.
     Runs opening before the brick accumulate from lane 0 — the caller
     folds the cross-brick carry in separately.
     """
+    if _seg_scan_variant() == "two_level" and BRICK == 128:
+        return _seg_scan_two_level(x, dcol, op, unit)
     srow = jax.lax.broadcasted_iota(jnp.int32, (BRICK, 1), 0)
     s = 1
     while s < BRICK:
@@ -140,6 +157,63 @@ def _seg_scan(x, dcol, op, unit):
         x = op(x, jnp.where(use, pltpu.roll(x, s, axis=0), unit))
         s *= 2
     return x
+
+
+def _seg_scan_two_level(x, dcol, op, unit):
+    """Two-level segmented scan: within-8-group passes (s=1,2,4), then a
+    4-pass segmented scan of the 16 group-end summaries, broadcast back.
+
+    Level-B recurrence: the global value at a group's last lane is its
+    within-group value times the previous group's global value iff its
+    run extends past the group start (dcol >= 8); combining across s
+    groups needs dcol >= 8s. The in-group condition (srow % 8 >= s)
+    confines level A to groups; a lane multiplies the broadcast
+    group-prefix iff its run extends before ITS group start
+    (dcol >= (l % 8) + 1). Cross-brick runs carry huge dcol, making
+    every condition true — identical semantics to the flat scan.
+    """
+    srow = jax.lax.broadcasted_iota(jnp.int32, (BRICK, 1), 0)
+    sub = srow & 7                                    # lane offset in group
+    for s in (1, 2, 4):
+        use = (sub >= s) & (dcol >= jnp.float32(s))
+        x = op(x, jnp.where(use, pltpu.roll(x, s, axis=0), unit))
+
+    ng = BRICK // 8
+    # group-end rows (lane 8j+7) extracted with a one-hot matmul
+    gi = jax.lax.broadcasted_iota(jnp.int32, (ng, BRICK), 0)
+    li = jax.lax.broadcasted_iota(jnp.int32, (ng, BRICK), 1)
+    sel = (li == 8 * gi + 7).astype(jnp.float32)      # [ng,BRICK]
+    gval = jax.lax.dot_general(
+        sel, x, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)          # [ng,P]
+    gdc = jax.lax.dot_general(
+        sel, dcol, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)          # [ng,1]
+    grow = jax.lax.broadcasted_iota(jnp.int32, (ng, 1), 0)
+    s = 1
+    while s < ng:
+        # conditions test the ORIGINAL run extents (like the flat scan)
+        use = (grow >= s) & (gdc >= jnp.float32(8 * s))
+        gval = op(gval, jnp.where(use, pltpu.roll(gval, s, axis=0), unit))
+        s *= 2
+    # exclusive group prefix: shift down one group, unit into group 0
+    gprev = jnp.where(grow >= 1, pltpu.roll(gval, 1, axis=0), unit)
+    # broadcast to lanes (rows 8j of a [BRICK,P] array via one-hot)
+    exp = (li == 8 * gi).astype(jnp.float32)
+    bcast = jax.lax.dot_general(
+        exp, gprev, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)          # [BRICK,P] rows 8j
+    # cascade-fill each group's 8 lanes from its base row
+    for s in (1, 2, 4):
+        moved = pltpu.roll(bcast, s, axis=0)
+        bcast = jnp.where((sub >= s) & (sub < 2 * s), moved, bcast)
+    # a lane multiplies its group prefix iff its run crosses the group
+    # start (dcol >= lane offset + 1)
+    crosses = dcol >= (sub.astype(jnp.float32) + 1.0)
+    return op(x, jnp.where(crosses, bcast, unit))
 
 
 def _onehot(rrow, base, rows):
